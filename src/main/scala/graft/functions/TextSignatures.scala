@@ -1,0 +1,201 @@
+package graft.functions
+
+import graft.config.GraftConfig
+import Hashing._
+
+/**
+ * The per-document signature kernel — one pass over the text computes every
+ * deterministic signature the blocking stages need. Runs once per row inside
+ * a Spark projection; at 10^12-document scale this is the single hottest
+ * function in the engine, so it is written allocation-light with primitive
+ * arrays and no regex.
+ *
+ * Replaces the reference's learned embedding path
+ * (entity_embed/models.py:8-52 StringEmbedCNN + entity_embed.py:277-321
+ * `predict`) per BASELINE.json::north_rule: MinHash over char shingles
+ * (syntactic, edit-distance-sensitive like the CNN it replaces), SimHash over
+ * word tokens (semantic analog of models.py:55-66), winnowing fingerprints
+ * feeding the suffix-array substring stage.
+ *
+ * Empty/too-short text yields NO signatures — the reference zeroes empty
+ * fields so "empty must not match empty" (models.py:253-256, CHANGELOG 0.0.4);
+ * we encode that as empty arrays which the explode-based blocking skips.
+ */
+object TextSignatures {
+
+  final case class Sig(
+      shingles: Array[Long], // sorted distinct k-shingle hashes (Jaccard verify)
+      minhash: Array[Long], // numPerm MinHash values
+      bandKeys: Array[Long], // one LSH join key per band (band idx mixed in)
+      simhash: Long, // 64-bit SimHash fingerprint over word tokens
+      simhashChunks: Array[Long], // Hamming-ball block keys (chunk idx mixed in)
+      spanKeys: Array[Long], // winnowing fingerprints (suffix/substring stage)
+      nShingles: Int,
+      nTokens: Int)
+
+  val empty: Sig = Sig(Array.empty, Array.empty, Array.empty, 0L, Array.empty, Array.empty, 0, 0)
+
+  /** Permutation parameters derived deterministically from the config seed. */
+  final class Perms(cfg: GraftConfig) {
+    val a: Array[Long] = stream(cfg.seed, cfg.numPerm).map(x => (x & MersennePrime) | 1L)
+    val b: Array[Long] = stream(cfg.seed + 0x5ee1e5eedL, cfg.numPerm).map(_ & MersennePrime)
+  }
+
+  private val permCache = new java.util.concurrent.ConcurrentHashMap[GraftConfig, Perms]()
+  def permsFor(cfg: GraftConfig): Perms =
+    permCache.computeIfAbsent(cfg, c => new Perms(c))
+
+  /**
+   * Normalize for signature purposes ONLY (the stored `text` column is never
+   * touched — byte-identity invariant): lowercase, collapse whitespace runs
+   * to single spaces, trim. Mirrors the reference's derived-column char
+   * cleanup (numericalizer.py:89-97) without its lossy 69-char alphabet.
+   */
+  def normalize(text: String): Array[Char] = {
+    val n = text.length
+    val out = new Array[Char](n)
+    var j = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (j > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { out(j) = ' '; j += 1; pendingSpace = false }
+        out(j) = Character.toLowerCase(c); j += 1
+      }
+      i += 1
+    }
+    if (j == n) out else java.util.Arrays.copyOf(out, j)
+  }
+
+  /** Distinct k-shingle hashes of a normalized char array, sorted. */
+  def shingleSet(cs: Array[Char], k: Int): Array[Long] = {
+    if (cs.length < k) return Array.empty
+    val set = new LongSet(cs.length)
+    var i = 0
+    val last = cs.length - k
+    while (i <= last) {
+      set.add(hashChars(cs, i, i + k))
+      i += 1
+    }
+    set.toSortedArray
+  }
+
+  /** Full signature bundle; single pass over the text. */
+  def compute(text: String, cfg: GraftConfig): Sig = {
+    if (text == null) return empty
+    val cs = normalize(text)
+    if (cs.length < cfg.shingleK) return empty
+    val perms = permsFor(cfg)
+
+    // --- distinct shingle hashes + streaming MinHash ---
+    val k = cfg.shingleK
+    val set = new LongSet(cs.length)
+    val sig = new Array[Long](cfg.numPerm)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    val last = cs.length - k
+    while (i <= last) {
+      val h = hashChars(cs, i, i + k)
+      if (set.add(h)) {
+        val x = h & MersennePrime
+        var p = 0
+        while (p < cfg.numPerm) {
+          val v = addMod61(mulMod61(perms.a(p), x), perms.b(p))
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    val shingles = set.toSortedArray
+
+    // --- LSH band keys: hash r consecutive sig rows per band, mix band idx
+    //     so band 3's bucket space never collides with band 7's ---
+    val bandKeys = new Array[Long](cfg.bands)
+    var bnd = 0
+    while (bnd < cfg.bands) {
+      var h = mix64(bnd.toLong + cfg.seed)
+      var r = 0
+      while (r < cfg.rowsPerBand) {
+        h = mix2(h, sig(bnd * cfg.rowsPerBand + r))
+        r += 1
+      }
+      bandKeys(bnd) = h
+      bnd += 1
+    }
+
+    // --- SimHash over word tokens (split on the spaces normalize produced) ---
+    val votes = new Array[Int](64)
+    var nTokens = 0
+    var start = 0
+    i = 0
+    while (i <= cs.length) {
+      if (i == cs.length || cs(i) == ' ') {
+        if (i > start) {
+          val th = hashChars(cs, start, i)
+          var bit = 0
+          while (bit < 64) {
+            if (((th >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+            bit += 1
+          }
+          nTokens += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var simhash = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) simhash |= (1L << bit)
+      bit += 1
+    }
+    val chunkBits = 64 / cfg.simHashChunks
+    val chunkMask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    val chunks = new Array[Long](cfg.simHashChunks)
+    var c = 0
+    while (c < cfg.simHashChunks) {
+      // mix chunk idx so chunk key spaces are disjoint
+      chunks(c) = mix2(c.toLong + 0xc0ffee, (simhash >>> (c * chunkBits)) & chunkMask)
+      c += 1
+    }
+
+    // --- winnowing fingerprints (Schleimer et al., MOSS): rolling g-gram
+    //     hashes, keep the min of each w-window; guarantees any exact common
+    //     substring of length >= w + g - 1 shares a selected fingerprint ---
+    val spanKeys = winnow(cs, cfg.spanGramLen, cfg.winnowWindow)
+
+    Sig(shingles, sig, bandKeys, if (nTokens == 0) 0L else simhash, chunks, spanKeys,
+      shingles.length, nTokens)
+  }
+
+  /** Winnowing fingerprint selection over g-gram hashes with window w. */
+  def winnow(cs: Array[Char], g: Int, w: Int): Array[Long] = {
+    val nGrams = cs.length - g + 1
+    if (nGrams < 1) return Array.empty
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) { hs(i) = hashChars(cs, i, i + g); i += 1 }
+    if (nGrams <= w) {
+      var m = hs(0); i = 1
+      while (i < nGrams) { if (hs(i) < m) m = hs(i); i += 1 }
+      return Array(m)
+    }
+    val picked = new LongSet(nGrams / w + 4)
+    // classic O(n) sliding-window minimum via monotonic deque of indices
+    val deque = new Array[Int](nGrams)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) picked.add(hs(deque(head)))
+      i += 1
+    }
+    picked.toSortedArray
+  }
+}

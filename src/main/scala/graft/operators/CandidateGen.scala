@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.config.GraftConfig
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Stage 2 — candidate generation. Three independent blocking stages over the
+ * signature table (north rule): MinHash LSH banding, SimHash Hamming-ball,
+ * winnowing-fingerprint substring blocking. Each emits canonical candidate
+ * pairs tagged with its stage name (lineage); the union feeds Jaccard
+ * verification.
+ *
+ * Reference analog: ANN index build + k-NN self-join
+ * (entity_embed/indexes.py:16-66). The HNSW graph is replaced by explode →
+ * equi-join on bucket keys: no mutable index object, one wide shuffle,
+ * Catalyst picks the physical join.
+ */
+object CandidateGen {
+
+  final case class Result(candidates: DataFrame, oversizeLog: DataFrame)
+
+  /** MinHash LSH banding (SURVEY.md J1/J2): explode band keys → bucket join. */
+  def minhashStage(sigs: DataFrame, cfg: GraftConfig): Result = {
+    val m = sigs.select(col("id"), explode(col("band_keys")).as("bucket"))
+    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "minhash")
+    Result(r.pairs.withColumn("stage", lit("minhash")), r.oversizeLog)
+  }
+
+  /**
+   * SimHash Hamming-ball (north-rule addition): the 64-bit fingerprint is
+   * banded into `simHashChunks` chunks; any two fingerprints within Hamming
+   * radius r < chunks agree on >= 1 chunk (pigeonhole), so an equi-join on
+   * chunk keys is a complete Hamming-ball candidate generator. The
+   * bit_count(a^b) <= r check is applied right here (threshold pushdown —
+   * reference J4, indexes.py:40) so only in-ball pairs reach verification.
+   */
+  def simhashStage(sigs: DataFrame, cfg: GraftConfig): Result = {
+    val nonEmpty = sigs.filter(col("n_tokens") > 0)
+    val m = nonEmpty.select(col("id"), explode(col("simhash_chunks")).as("bucket"))
+    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "simhash")
+    val fp = nonEmpty.select(col("id"), col("simhash"))
+    val inBall = r.pairs
+      .join(fp.withColumnRenamed("id", "id1").withColumnRenamed("simhash", "sh1"), "id1")
+      .join(fp.withColumnRenamed("id", "id2").withColumnRenamed("simhash", "sh2"), "id2")
+      .filter(bit_count(col("sh1").bitwiseXOR(col("sh2"))) <= cfg.hammingRadius)
+      .select(col("id1"), col("id2"), lit("simhash").as("stage"))
+    Result(inBall, r.oversizeLog)
+  }
+
+  /**
+   * Substring stage (north-rule "suffix-array substring stage"): winnowing
+   * fingerprints guarantee that any exact common substring of length >=
+   * winnowWindow + spanGramLen - 1 = minSpanLen shares a selected
+   * fingerprint, so the equi-join on fingerprints is a complete blocker for
+   * long exact spans. Exact span extents are recovered per fingerprint
+   * group by SuffixSpans (suffix-array over the co-bucketed docs).
+   */
+  def spanStage(sigs: DataFrame, cfg: GraftConfig): Result = {
+    val m = sigs.select(col("id"), explode(col("span_keys")).as("bucket"))
+    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "span")
+    Result(r.pairs.withColumn("stage", lit("span")), r.oversizeLog)
+  }
+
+  /**
+   * Union of all enabled stages, deduped to one row per (id1, id2) keeping a
+   * deterministic lineage tag (min stage name — 'minhash' < 'simhash' <
+   * 'span' alphabetically; all stages are recorded in the per-stage metrics).
+   */
+  def all(sigs: DataFrame, cfg: GraftConfig,
+      useMinhash: Boolean = true, useSimhash: Boolean = true,
+      useSpans: Boolean = true): Result = {
+    val stages = Seq(
+      if (useMinhash) Some(minhashStage(sigs, cfg)) else None,
+      if (useSimhash) Some(simhashStage(sigs, cfg)) else None,
+      if (useSpans) Some(spanStage(sigs, cfg)) else None).flatten
+    require(stages.nonEmpty, "at least one blocking stage must be enabled")
+    val cands = stages.map(_.candidates).reduce(_ union _)
+      .groupBy("id1", "id2").agg(min("stage").as("stage"))
+    val logs = stages.map(_.oversizeLog).reduce(_ union _)
+    Result(cands, logs)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.config.GraftConfig
+import graft.functions.TextSignatures
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * Stage 1 — per-document signature projection. Embarrassingly parallel: no
+ * shuffle; Catalyst fuses the UDF call and the struct-field selects into one
+ * whole-stage-codegen projection over the Parquet scan (only `id` + `text`
+ * are read thanks to column pruning — verify with .explain "ReadSchema").
+ *
+ * Replaces the reference's embed step (entity_embed/entity_embed.py:277-321
+ * `predict` → vector_dict); one signature bundle per row instead of a
+ * 300-dim float vector.
+ */
+object Signatures {
+
+  final case class SigRow(
+      shingles: Array[Long],
+      band_keys: Array[Long],
+      simhash: Long,
+      simhash_chunks: Array[Long],
+      span_keys: Array[Long],
+      n_shingles: Int,
+      n_tokens: Int)
+
+  /** Column-level signature UDF (one pass; see TextSignatures.compute). */
+  def sigUdf(cfg: GraftConfig) = udf { (text: String) =>
+    val s = TextSignatures.compute(text, cfg)
+    SigRow(s.shingles, s.bandKeys, s.simhash, s.simhashChunks, s.spanKeys,
+      s.nShingles, s.nTokens)
+  }
+
+  /**
+   * df(id, text, ...) -> df(id, shingles, band_keys, simhash, simhash_chunks,
+   * span_keys, n_shingles, n_tokens). `text` itself is NOT carried forward —
+   * downstream stages only ever see derived columns (byte-identity invariant).
+   */
+  def compute(df: DataFrame, cfg: GraftConfig,
+      idCol: String = "id", textCol: String = "text"): DataFrame = {
+    df.select(col(idCol).as("id"), sigUdf(cfg)(col(textCol)).as("sig"))
+      .select(col("id"), col("sig.*"))
+  }
+
+  /** Jaccard of two sorted distinct shingle-hash arrays, as a Column. */
+  val jaccardUdf = udf { (a: Array[Long], b: Array[Long]) =>
+    graft.functions.Hashing.jaccardSorted(
+      if (a == null) Array.empty[Long] else a,
+      if (b == null) Array.empty[Long] else b)
+  }
+
+  def jaccard(a: Column, b: Column): Column = jaccardUdf(a, b)
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import graft.config.GraftConfig
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+
+/**
+ * The end-to-end near-duplicate detection + clustering pipeline — the
+ * flagship query (reference: `predict_pairs` entity_embed/cli.py:429-524 →
+ * clusters, End-to-End-Matching notebook):
+ *
+ *   pages ─ sig ─┬─ minhash LSH ──┐
+ *                ├─ simhash ball ─┼─ union ─ jaccard verify ─ CC ─ clusters
+ *                └─ span winnow ──┘
+ *
+ * Checkpoint/resume (north rule "resumable from checkpoint"): every stage
+ * writes its output Parquet under `checkpointDir/<stage>` plus a `_GRAFT_OK`
+ * marker; a re-run skips any stage whose marker exists, so a killed job
+ * resumes from the last completed stage with byte-identical results
+ * (everything downstream of the deterministic signatures is deterministic).
+ *
+ * Lineage + metrics (north rule): every stage logs per-partition row counts
+ * (spark_partition_id aggregation) to `checkpointDir/lineage`; oversized
+ * blocking buckets (skew cap hits) go to `checkpointDir/oversize` — no
+ * silent caps.
+ */
+final class DedupPipeline(
+    spark: SparkSession,
+    cfg: GraftConfig = GraftConfig.default,
+    checkpointDir: Option[String] = None,
+    estimateJaccard: Boolean = false,
+    normalizeClusterIds: Boolean = false) {
+
+  import DedupPipeline._
+
+  /** pages(id, text, ...) → (id, cluster) for every input page. */
+  def run(pages: DataFrame): Result = {
+    val sigs = stage("signatures") {
+      Signatures.compute(pages, cfg)
+    }
+    val candStage = stage("candidates") {
+      val r = CandidateGen.all(sigs, cfg)
+      sideSink("oversize", r.oversizeLog)
+      r.candidates
+    }
+    val verified = stage("verified") {
+      JaccardVerify.verify(candStage, sigs, cfg, estimateJaccard)
+    }
+    val assignments = stage("clusters") {
+      val comps = ConnectedComponents.components(verified)
+      Clustering.assignAll(pages.select("id"), comps, normalizeClusterIds)
+    }
+    Result(sigs, candStage, verified, assignments)
+  }
+
+  /** Run a stage, or load it from checkpoint if already completed. */
+  private def stage(name: String)(body: => DataFrame): DataFrame =
+    checkpointDir match {
+      case None => body
+      case Some(dir) =>
+        val path = s"$dir/$name"
+        val ok = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_OK")
+        val fs = ok.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(ok)) {
+          val df = body
+          df.write.mode(SaveMode.Overwrite).parquet(path)
+          logLineage(name, path)
+          fs.create(ok, true).close()
+        }
+        spark.read.parquet(path)
+    }
+
+  /** Append-only side output (metrics/logs), best-effort under no checkpoint. */
+  private def sideSink(name: String, df: DataFrame): Unit =
+    checkpointDir.foreach { dir =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+    }
+
+  /** Per-partition lineage: rows per partition of the stage output. */
+  private def logLineage(name: String, path: String): Unit =
+    checkpointDir.foreach { dir =>
+      spark.read.parquet(path)
+        .groupBy(spark_partition_id().as("partition"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("stage", lit(name))
+        .write.mode(SaveMode.Append).parquet(s"$dir/lineage")
+    }
+}
+
+object DedupPipeline {
+  final case class Result(
+      signatures: DataFrame,
+      candidates: DataFrame,
+      verified: DataFrame,
+      assignments: DataFrame)
+}

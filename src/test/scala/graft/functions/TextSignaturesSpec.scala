@@ -1,0 +1,85 @@
+package graft.functions
+
+import graft.config.GraftConfig
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSignaturesSpec extends AnyFunSuite {
+  val cfg = GraftConfig.default
+
+  test("normalize lowercases, collapses whitespace, trims") {
+    assert(new String(TextSignatures.normalize("  Hello\t\n WORLD  ")) == "hello world")
+    assert(new String(TextSignatures.normalize("")) == "")
+    assert(new String(TextSignatures.normalize("   ")) == "")
+  }
+
+  test("shingleSet is sorted, distinct, and edit-sensitive") {
+    val a = TextSignatures.shingleSet("abcdefgh".toCharArray, 5)
+    assert(a.length == 4) // abcde bcdef cdefg defgh
+    assert(a.sameElements(a.sorted.distinct))
+    val b = TextSignatures.shingleSet("abcdefgh".toCharArray, 5)
+    assert(a.sameElements(b), "deterministic")
+  }
+
+  test("too-short / empty text yields empty signatures (P13 semantics)") {
+    assert(TextSignatures.compute("", cfg).shingles.isEmpty)
+    assert(TextSignatures.compute("abc", cfg).shingles.isEmpty)
+    assert(TextSignatures.compute(null, cfg).shingles.isEmpty)
+  }
+
+  test("identical text => identical signatures; band keys collide fully") {
+    val s1 = TextSignatures.compute("the quick brown fox jumps over the lazy dog", cfg)
+    val s2 = TextSignatures.compute("The  quick Brown fox jumps over the lazy dog", cfg)
+    // normalization makes these identical
+    assert(s1.minhash.sameElements(s2.minhash))
+    assert(s1.bandKeys.sameElements(s2.bandKeys))
+    assert(s1.simhash == s2.simhash)
+  }
+
+  test("minhash agreement approximates exact jaccard (statistical)") {
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val edited = (1 to 200).map(i => if (i % 5 == 0) s"zzz$i" else s"tok$i").mkString(" ")
+    val a = TextSignatures.compute(base, cfg)
+    val b = TextSignatures.compute(edited, cfg)
+    val exact = Hashing.jaccardSorted(a.shingles, b.shingles)
+    val est = a.minhash.zip(b.minhash).count { case (x, y) => x == y }.toDouble / cfg.numPerm
+    // sigma = sqrt(j(1-j)/128) <= 0.045; allow 4 sigma
+    assert(math.abs(exact - est) < 0.18, s"exact=$exact est=$est")
+  }
+
+  test("simhash hamming distance small for near-dup token sets") {
+    val base = (1 to 300).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 300).map(i => if (i == 7) "changed" else s"word$i").mkString(" ")
+    val far = (1 to 300).map(i => s"other$i").mkString(" ")
+    val a = TextSignatures.compute(base, cfg).simhash
+    val b = TextSignatures.compute(nearDup, cfg).simhash
+    val c = TextSignatures.compute(far, cfg).simhash
+    assert(java.lang.Long.bitCount(a ^ b) <= 3)
+    assert(java.lang.Long.bitCount(a ^ c) > 10)
+  }
+
+  test("winnowing: exact shared substring >= minSpanLen shares a fingerprint") {
+    val shared = "x" * 10 + "this is an exact shared span of sufficient length!" + "y" * 10
+    val cs1 = TextSignatures.normalize("aaa prefix one " + shared + " suffix one bbb")
+    val cs2 = TextSignatures.normalize("ccc completely different lead " + shared + " tail ddd")
+    val f1 = TextSignatures.winnow(cs1, cfg.spanGramLen, cfg.winnowWindow).toSet
+    val f2 = TextSignatures.winnow(cs2, cfg.spanGramLen, cfg.winnowWindow).toSet
+    assert(shared.length >= cfg.minSpanLen)
+    assert(f1.intersect(f2).nonEmpty)
+  }
+
+  test("jaccardSorted: empty vs empty is 0 (empty must not match empty)") {
+    assert(Hashing.jaccardSorted(Array.empty, Array.empty) == 0.0)
+    assert(Hashing.jaccardSorted(Array(1L, 2L), Array(1L, 2L)) == 1.0)
+    assert(Hashing.jaccardSorted(Array(1L, 2L), Array(2L, 3L)) == 1.0 / 3.0)
+  }
+
+  test("mulMod61 matches BigInt arithmetic") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 1000) {
+      val a = rnd.nextLong().abs % Hashing.MersennePrime
+      val b = rnd.nextLong().abs % Hashing.MersennePrime
+      val expected = (BigInt(a) * BigInt(b) % BigInt(Hashing.MersennePrime)).toLong
+      assert(Hashing.mulMod61(a, b) == expected, s"a=$a b=$b")
+    }
+  }
+}
