@@ -7,66 +7,315 @@ import graft.pipeline.DedupPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/**
+ * Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ * Every SURVEY.md §2 operator with a SQL-expressible semantic has a DuckDB
+ * oracle entry; signature/LSH-based operators (non-SQL) are rows-only.
+ */
 object SparkEntry {
 
   val cfg: GraftConfig = GraftConfig.default
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+  /** Trigram-Jaccard near-dup threshold for the documents table: the data
+    * has a wide empty margin between 0.12 and 0.25 (probed), so any value
+    * inside is boundary-unambiguous for the float filter in both engines. */
+  private val ngramThreshold = 0.2
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def labelClusters(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id").as("id"), col("label").cast("long").as("cluster"))
+
+  /** Session-scoped corpus cache: several queries share the same generated
+    * page table; cache it once instead of regenerating per query. */
+  private val corpusCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), (DataFrame, DataFrame)]()
+  private def corpus(s: SparkSession, n: Int = 2000): (DataFrame, DataFrame) =
+    corpusCache.computeIfAbsent((s, n), { _ =>
+      val (pages, truth) = PageCorpus.generate(s, n, cfg.seed)
+      (pages.toDF().cache(), truth.toDF().cache())
+    })
 
   /**
-   * Flagship query on sf=0.001 (driver smoke-checks rows > 0): the full
-   * near-duplicate pipeline — signatures → 3-stage blocking → Jaccard verify
-   * → connected components → cluster assignment — over the deterministic
-   * synthetic web-page corpus (BASELINE.json::input_hint shape), one row per
-   * page with its cluster id.
+   * Flagship query (driver smoke-checks rows > 0): the full near-duplicate
+   * pipeline — signatures → 3-stage blocking (MinHash LSH + SimHash
+   * Hamming-ball + winnowing substring) → exact-Jaccard verify → iterative
+   * DataFrame connected components → cluster assignment — over the
+   * deterministic synthetic web-page corpus (BASELINE.json::input_hint
+   * shape), one row per page.
    */
   def entry(spark: SparkSession): DataFrame = {
-    val (pages, _) = PageCorpus.generate(spark, 2000, cfg.seed)
-    val result = new DedupPipeline(spark, cfg).run(pages.toDF())
-    Clustering.writeback(pages.toDF().select("id", "url", "lang"), result.assignments)
+    val (pages, _) = corpus(spark)
+    val result = new DedupPipeline(spark, cfg).run(pages)
+    Clustering.writeback(pages.select("id", "url", "lang"), result.assignments)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Flagship (non-SQL): full dedup pipeline over the page corpus.
+    // ===== flagship + signature stages (non-SQL; rows-only checks) =====
     "q_pipeline_clusters" -> ((s, _) => {
-      val (pages, _) = PageCorpus.generate(s, 2000, cfg.seed)
-      new DedupPipeline(s, cfg).run(pages.toDF()).assignments
-        .orderBy("id")
+      val (pages, _) = corpus(s)
+      new DedupPipeline(s, cfg).run(pages).assignments.orderBy("id")
     }),
-    // A3: group records by cluster — members sorted ascending.
-    "q_cluster_members" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id").as("id"), col("label").cast("long").as("cluster"))
-      Clustering.clusterMembers(emb)
-        .select(col("cluster"), col("members"))
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashDupPairs(docs(s, dir), cfg).orderBy("id1", "id2")),
+    "q_simhash_fingerprints" -> ((s, dir) =>
+      Signatures.compute(docs(s, dir), cfg, "doc_id", "text")
+        .select(col("id"), col("simhash"), col("n_shingles"), col("n_tokens"))
+        .orderBy("id")),
+    "q_suffix_spans" -> ((s, _) => {
+      val (pages, _) = corpus(s)
+      SuffixSpans.spans(pages, cfg).orderBy("id1", "id2")
     }),
-    // A4: cluster → intra-cluster pair expansion (id1 < id2).
-    "q_cluster_pairs" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id").as("id"), col("label").cast("long").as("cluster"))
-      PairAlgebra.clusterToPairs(emb)
+    "q_linkage_pairs" -> ((s, _) => {
+      val (pages, _) = corpus(s)
+      val tagged = pages.withColumn("source",
+        when(pmod(col("id"), lit(2)) === 0, "left").otherwise("right"))
+      Linkage.linkagePairs(tagged, cfg, "left").orderBy("left_id", "right_id")
     }),
-    // A5: Σ n(n-1)/2 pair count.
-    "q_cluster_pair_count" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id").as("id"), col("label").cast("long").as("cluster"))
-      PairAlgebra.clusterPairCount(emb)
-    })
+    "q_threshold_sweep" -> ((s, _) => {
+      import s.implicits._
+      val (pages, truth) = corpus(s)
+      val sigs = Signatures.compute(pages, cfg)
+      val cands = CandidateGen.all(sigs, cfg).candidates
+      val scored = JaccardVerify.verify(cands, sigs,
+        cfg.copy(simThreshold = 0.0)) // score all candidates, sweep filters
+      val pos = PairAlgebra.clusterToPairs(truth.select("id", "cluster"))
+      s.createDataset(Metrics.sweep(scored, pos, pages.count(), Seq(0.3, 0.5, 0.7)))
+        .toDF()
+    }),
+    "q_multimodal_features" -> ((s, _) => {
+      val (pages, _) = corpus(s)
+      Multimodal.extractFeatures(Multimodal.mediaFromPages(pages)).orderBy("media_id")
+    }),
+    "q_ann_lsh_top3" -> ((s, dir) =>
+      Ann.lshTopK(emb(s, dir), 3, seed = cfg.seed).orderBy("id", "rank")),
+
+    // ===== SQL-expressible operators (DuckDB oracle) =====
+    "q_cluster_members" -> ((s, dir) =>
+      Clustering.clusterMembers(labelClusters(s, dir))),
+    "q_cluster_pairs" -> ((s, dir) =>
+      PairAlgebra.clusterToPairs(labelClusters(s, dir))),
+    "q_cluster_pair_count" -> ((s, dir) =>
+      PairAlgebra.clusterPairCount(labelClusters(s, dir))),
+    "q_exact_dup_pairs" -> ((s, dir) =>
+      Dedup.exactDupPairs(docs(s, dir)).orderBy("id1", "id2")),
+    "q_ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.tokenJaccardPairs(docs(s, dir), ngramThreshold, ngram = 3)
+        .orderBy("id1", "id2")),
+    "q_cc_clusters" -> ((s, dir) => {
+      val edges = Dedup.tokenJaccardPairs(docs(s, dir), ngramThreshold, ngram = 3)
+      val comps = ConnectedComponents.components(edges.select("id1", "id2"))
+      Clustering.assignAll(docs(s, dir).select(col("doc_id").as("id")),
+        comps, normalizeIds = false).orderBy("id")
+    }),
+    "q_text_profile" -> ((s, dir) =>
+      TextAnalysis.profile(docs(s, dir)).drop("fingerprint").orderBy("doc_id")),
+    "q_vocab_count" -> ((s, dir) =>
+      StatsJobs.vocabCount(docs(s, dir), "text").orderBy("token")),
+    "q_max_str_len" -> ((s, dir) =>
+      StatsJobs.maxStrLen(docs(s, dir), "text", multitoken = true)),
+    "q_topk_per_lang" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
+      docs(s, dir).withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("rank"))
+        .orderBy("lang", "rank")
+    }),
+    "q_split_assign" -> ((s, dir) => {
+      // oracle-parity variant: modulo bucket (the production path uses
+      // xxhash64 buckets — same operator, injectable bucket fn; see Splits)
+      val assign = labelClusters(s, dir)
+      val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("n"))
+      val labeled = sizes.withColumn("bucket", pmod(col("cluster") + cfg.seed, lit(100)))
+        .withColumn("split",
+          when(col("bucket") < 60, "train")
+            .when(col("bucket") < 80, "valid").otherwise("test"))
+        .select("cluster", "split")
+      assign.join(labeled, "cluster").select("id", "cluster", "split").orderBy("id")
+    }),
+    "q_metrics_pr" -> ((s, dir) => {
+      val found = Dedup.tokenJaccardPairs(docs(s, dir), ngramThreshold, ngram = 3)
+        .select("id1", "id2")
+      val pos = PairAlgebra.clusterToPairs(labelClusters(s, dir))
+      val nRec = docs(s, dir).count()
+      val tp = PairAlgebra.truePositives(found, pos).count()
+      val nF = found.count(); val nP = pos.count()
+      val p = Metrics.precision(tp, nF); val r = Metrics.recall(tp, nP)
+      import s.implicits._
+      Seq((tp, nF, nP, p, r, Metrics.f1(p, r), Metrics.pairEntityRatio(nF, nRec)))
+        .toDF("tp", "found", "pos", "precision", "recall", "f1", "pair_entity_ratio")
+    }),
+    "q_ann_top3" -> ((s, dir) =>
+      Ann.bruteForceTopK(emb(s, dir), 3).orderBy("id", "rank")),
+    "q_cosine_pairs" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(emb(s, dir), 0.4).orderBy("id1", "id2"))
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
   def oracleSql: Map[String, String] = Map(
     "q_cluster_members" ->
-      ("SELECT CAST(label AS BIGINT) AS cluster, list_sort(list(vec_id)) AS members " +
-        "FROM embeddings GROUP BY label"),
+      """SELECT CAST(label AS BIGINT) AS cluster, list_sort(list(vec_id)) AS members
+         FROM embeddings GROUP BY label""",
     "q_cluster_pairs" ->
-      ("SELECT a.vec_id AS id1, b.vec_id AS id2 FROM embeddings a " +
-        "JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id"),
+      """SELECT a.vec_id AS id1, b.vec_id AS id2 FROM embeddings a
+         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id""",
     "q_cluster_pair_count" ->
-      ("SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS total_pairs FROM " +
-        "(SELECT count(*) AS n FROM embeddings GROUP BY label)")
-  )
+      """SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS total_pairs FROM
+         (SELECT count(*) AS n FROM embeddings GROUP BY label)""",
+    "q_exact_dup_pairs" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2 FROM documents a
+         JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+         ORDER BY 1, 2""",
+    "q_ngram_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') tk
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+            FOR i IN range(1, len(tk) - 1)]) g FROM t)
+          SELECT id1, id2, round(j, 6) AS jaccard FROM (
+            SELECT a.doc_id id1, b.doc_id id2,
+              len(list_intersect(a.g, b.g))::DOUBLE / len(list_distinct(a.g || b.g)) j
+            FROM g a JOIN g b ON a.doc_id < b.doc_id)
+          WHERE j >= $ngramThreshold ORDER BY 1, 2""",
+    "q_cc_clusters" ->
+      s"""WITH RECURSIVE
+          t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') tk
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+            FOR i IN range(1, len(tk) - 1)]) g FROM t),
+          e0 AS (SELECT a.doc_id id1, b.doc_id id2
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.g, b.g))::DOUBLE
+              / len(list_distinct(a.g || b.g)) >= $ngramThreshold),
+          edges AS (SELECT id1 u, id2 v FROM e0 UNION SELECT id2, id1 FROM e0),
+          reach(id, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
+            WHERE r.comp < e.v)
+          SELECT id, min(comp) AS cluster FROM reach GROUP BY id ORDER BY id""",
+    "q_text_profile" ->
+      """WITH p AS (SELECT doc_id, text, trim(text) tt,
+            string_split_regex(lower(trim(text)), '\s+') tk FROM documents),
+          m AS (SELECT doc_id, text, tt, tk,
+            CASE WHEN len(tt) = 0 THEN 0 ELSE len(tk) END::BIGINT n_tokens_ws,
+            len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT words,
+            coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+              w -> greatest(CAST(ceil(len(w) / 4.0) AS BIGINT) - 1, 0))), 0)::BIGINT extra,
+            len(regexp_extract_all(text, '[0-9]'))::BIGINT digits,
+            len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT punct_bpe,
+            CASE WHEN len(text) = 0 THEN 0.0 ELSE
+              len(regexp_extract_all(text, '[^\p{L}\p{N}\s]'))::DOUBLE / len(text)
+            END punct_ratio_raw,
+            CASE WHEN len(tt) = 0 THEN 0.0 ELSE
+              len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','for','on','with')))::DOUBLE / len(tk)
+            END stop_ratio_raw,
+            CASE WHEN len(tt) = 0 THEN 0.0 ELSE
+              list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk)
+            END mean_word_len,
+            len(string_split(' ' || lower(text) || ' ', ' the ')) - 1
+              + len(string_split(' ' || lower(text) || ' ', ' and ')) - 1
+              + len(string_split(' ' || lower(text) || ' ', ' of ')) - 1
+              + len(string_split(' ' || lower(text) || ' ', ' is ')) - 1 AS en_s,
+            len(string_split(' ' || lower(text) || ' ', ' der ')) - 1
+              + len(string_split(' ' || lower(text) || ' ', ' und ')) - 1
+              + len(string_split(' ' || lower(text) || ' ', ' die ')) - 1
+              + len(string_split(' ' || lower(text) || ' ', ' ist ')) - 1 AS de_s,
+            len(string_split(' ' || lower(text) || ' ', ' el ')) - 1
+              + len(string_split(' ' || lower(text) || ' ', ' los ')) - 1
+              + len(string_split(' ' || lower(text) || ' ', ' las ')) - 1
+              + len(string_split(' ' || lower(text) || ' ', ' es ')) - 1 AS es_s,
+            len(string_split(' ' || lower(text) || ' ', ' le ')) - 1
+              + len(string_split(' ' || lower(text) || ' ', ' les ')) - 1
+              + len(string_split(' ' || lower(text) || ' ', ' et ')) - 1
+              + len(string_split(' ' || lower(text) || ' ', ' est ')) - 1 AS fr_s
+          FROM p)
+          SELECT doc_id, n_tokens_ws,
+            (words + extra + digits + punct_bpe)::BIGINT AS n_tokens_bpe,
+            round(punct_ratio_raw, 6) AS punct_ratio,
+            round(stop_ratio_raw, 6) AS stopword_ratio,
+            round(least(len(text) / 500.0, 1.0) * 0.3
+              + greatest(1.0 - punct_ratio_raw * 5.0, 0.0) * 0.3
+              + least(stop_ratio_raw * 5.0, 1.0) * 0.2
+              + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+            CASE
+              WHEN en_s > 0 AND en_s >= de_s AND en_s >= es_s AND en_s >= fr_s THEN 'en'
+              WHEN de_s > 0 AND de_s >= es_s AND de_s >= fr_s THEN 'de'
+              WHEN es_s > 0 AND es_s >= fr_s THEN 'es'
+              WHEN fr_s > 0 THEN 'fr'
+              ELSE 'und' END AS lang_id
+          FROM m ORDER BY doc_id""",
+    "q_vocab_count" ->
+      """SELECT token, count(*)::BIGINT AS freq FROM (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           FROM documents)
+         WHERE len(token) > 0 GROUP BY token ORDER BY token""",
+    "q_max_str_len" ->
+      """SELECT (m + m % 2)::BIGINT AS max_str_len FROM (
+           SELECT max(len(t)) m FROM (
+             SELECT unnest(string_split_regex(trim(text), '\s+')) t FROM documents))""",
+    "q_topk_per_lang" ->
+      """SELECT lang, doc_id, n_chars, rank FROM (
+           SELECT lang, doc_id, n_chars, row_number() OVER
+             (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+           FROM documents)
+         WHERE rank <= 3 ORDER BY lang, rank""",
+    "q_split_assign" ->
+      s"""WITH labeled AS (
+           SELECT label,
+             CASE WHEN (label + ${cfg.seed}) % 100 < 60 THEN 'train'
+                  WHEN (label + ${cfg.seed}) % 100 < 80 THEN 'valid'
+                  ELSE 'test' END AS split
+           FROM (SELECT DISTINCT label FROM embeddings))
+         SELECT e.vec_id AS id, CAST(e.label AS BIGINT) AS cluster, l.split
+         FROM embeddings e JOIN labeled l ON e.label = l.label ORDER BY id""",
+    "q_metrics_pr" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') tk
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+            FOR i IN range(1, len(tk) - 1)]) g FROM t),
+          found AS (SELECT a.doc_id id1, b.doc_id id2
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.g, b.g))::DOUBLE
+              / len(list_distinct(a.g || b.g)) >= $ngramThreshold),
+          pos AS (SELECT a.vec_id id1, b.vec_id id2 FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+          c AS (SELECT
+            (SELECT count(*) FROM found f JOIN pos p
+               ON f.id1 = p.id1 AND f.id2 = p.id2)::BIGINT tp,
+            (SELECT count(*) FROM found)::BIGINT found,
+            (SELECT count(*) FROM pos)::BIGINT pos,
+            (SELECT count(*) FROM documents)::BIGINT nrec)
+          SELECT tp, found, pos,
+            CASE WHEN tp = 0 THEN 0.0 ELSE tp::DOUBLE / found END AS precision,
+            CASE WHEN pos = 0 THEN 0.0 ELSE tp::DOUBLE / pos END AS recall,
+            CASE WHEN (CASE WHEN tp = 0 THEN 0.0 ELSE tp::DOUBLE / found END)
+                    + (CASE WHEN pos = 0 THEN 0.0 ELSE tp::DOUBLE / pos END) = 0.0
+              THEN 0.0
+              ELSE 2 * (CASE WHEN tp = 0 THEN 0.0 ELSE tp::DOUBLE / found END)
+                     * (CASE WHEN pos = 0 THEN 0.0 ELSE tp::DOUBLE / pos END)
+                   / ((CASE WHEN tp = 0 THEN 0.0 ELSE tp::DOUBLE / found END)
+                      + (CASE WHEN pos = 0 THEN 0.0 ELSE tp::DOUBLE / pos END)) END AS f1,
+            CASE WHEN nrec = 0 THEN 0.0 ELSE found::DOUBLE / nrec END AS pair_entity_ratio
+          FROM c""",
+    "q_ann_top3" ->
+      """SELECT id, neighbor, cosine, rank FROM (
+           SELECT a.vec_id AS id, b.vec_id AS neighbor,
+             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                        b.vec_id ASC) AS rank
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+         WHERE rank <= 3 ORDER BY id, rank""",
+    "q_cosine_pairs" ->
+      """SELECT id1, id2, round(c, 6) AS cosine FROM (
+           SELECT a.vec_id id1, b.vec_id id2,
+             list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) c
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE c >= 0.4 ORDER BY 1, 2"""
+  ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

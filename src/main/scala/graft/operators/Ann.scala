@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column — the Spark
+ * replacement for the reference's HNSW index (entity_embed/indexes.py:10-66):
+ * no mutable index object, just joins.
+ *
+ *  - bruteForceTopK: exact cosine top-k via self-join + window (W1 k-cap,
+ *    reference indexes.py:43-48) — the correctness baseline.
+ *  - lshTopK: scale path — random-hyperplane LSH buckets (sign sketch), only
+ *    intra-bucket pairs scored, then per-query top-k. Sub-quadratic like
+ *    HNSW; recall controlled by (nPlanes, nTables).
+ */
+object Ann {
+
+  /** Normalize + cast embedding to double, with L2 norm column. */
+  private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+
+  private def cosine = (a: String, b: String) =>
+    aggregate(zip_with(col(s"$a.v"), col(s"$b.v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x) / (col(s"$a.norm") * col(s"$b.norm"))
+
+  /**
+   * Exact cosine top-k neighbors per vector. Deterministic tie-break:
+   * (cosine desc, neighbor id asc). O(n²) — small-scale baseline and oracle.
+   */
+  def bruteForceTopK(emb: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = prep(emb, idCol, vecCol)
+    val scored = e.as("a").join(e.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("neighbor"),
+        round(cosine("a", "b"), 6).as("cosine"))
+    val w = Window.partitionBy("id").orderBy(desc("cosine"), asc("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * Random-hyperplane LSH sign-sketch bucket key(s) per vector: for table t,
+   * bucket = bits of sign(v · r_i), i < nPlanes, planes drawn deterministically
+   * from the seed. Vectors in the same bucket are likely high-cosine
+   * (P[bit match] = 1 - angle/π).
+   */
+  def hyperplaneBuckets(emb: DataFrame, nPlanes: Int, nTables: Int, seed: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = prep(emb, idCol, vecCol)
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    // deterministic pseudo-gaussian planes: sum of 4 uniform draws per coord
+    def coord(t: Int, p: Int, d: Int): Double = {
+      val u = (0 until 4).map { r =>
+        val h = graft.functions.Hashing.mix64(
+          seed ^ (t.toLong << 40) ^ (p.toLong << 20) ^ (d.toLong << 2) ^ r)
+        (h >>> 11) * 1.1102230246251565e-16 - 0.5
+      }
+      u.sum
+    }
+    val tables = (0 until nTables).map { t =>
+      val bits = (0 until nPlanes).map { p =>
+        val dot = (0 until dim).map(d =>
+          element_at(col("v"), d + 1) * lit(coord(t, p, d))).reduce(_ + _)
+        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      e.select(col("id"),
+        (bits + lit(t.toLong << 32)).as("bucket")) // disjoint bucket space per table
+    }
+    tables.reduce(_ union _)
+  }
+
+  /**
+   * LSH-accelerated cosine top-k: candidates from hyperplane buckets, scored
+   * exactly, per-query top-k. Recall < 1 by construction; tested against
+   * bruteForceTopK for overlap.
+   */
+  def lshTopK(emb: DataFrame, k: Int, nPlanes: Int = 12, nTables: Int = 6,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = prep(emb, idCol, vecCol)
+    val buckets = hyperplaneBuckets(emb, nPlanes, nTables, seed, idCol, vecCol)
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id"), col("y.id").as("neighbor"))
+      .distinct()
+    val scored = cands
+      .join(e.select(col("id"), col("v"), col("norm")), "id")
+      .join(e.select(col("id").as("neighbor"), col("v").as("nv"),
+        col("norm").as("nnorm")), "neighbor")
+      .select(col("id"), col("neighbor"),
+        round(aggregate(zip_with(col("v"), col("nv"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("norm") * col("nnorm")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("id").orderBy(desc("cosine"), asc("neighbor"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

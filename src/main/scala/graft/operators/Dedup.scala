@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.config.GraftConfig
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operator family for training-data pipelines, over any
+ * (id, text) table. Exact dedup is a hash aggregation; the near-dup variants
+ * reuse the blocking stages (CandidateGen) at document granularity.
+ */
+object Dedup {
+
+  /**
+   * Exact duplicate groups: one row per text value occurring > 1 time, with
+   * the canonical (minimum) id and the duplicate count. Scale note: grouping
+   * by xxhash64(text) instead of the full text keeps shuffle payload at 8
+   * bytes/row; the full-text groupBy here is the oracle-friendly exact form
+   * and Catalyst still map-side-combines it.
+   */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+      .select(col("canonical_id"), col("dup_count"))
+
+  /** Exact duplicate pairs (id1 < id2) via hash-grouped self-join. */
+  def exactDupPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val d = docs.select(col(idCol).as("id"), xxhash64(col(textCol)).as("h"), col(textCol))
+    d.as("a").join(d.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$textCol") === col(s"b.$textCol")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+  }
+
+  /**
+   * Word-token n-gram Jaccard near-dup pairs, all built-ins (codegen'd):
+   * distinct token-n-gram sets via split + transform, pairwise Jaccard via
+   * array_intersect / array_union sizes. O(n²) compare — the oracle-exact
+   * small-scale form; the LSH path below is the scale path.
+   */
+  def tokenJaccardPairs(docs: DataFrame, threshold: Double, ngram: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams =
+      if (ngram == 1) array_distinct(toks)
+      else array_distinct(transform(
+        slice(toks, lit(1), greatest(size(toks) - (ngram - 1), lit(0))),
+        (_, i) => concat_ws(" ", slice(toks, i + 1, lit(ngram)))))
+    val d = docs.select(col(idCol).as("id"), grams.as("g"))
+    d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
+          size(array_union(col("a.g"), col("b.g"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs over any (id, text) table — the scale path. */
+  def minhashDupPairs(docs: DataFrame, cfg: GraftConfig,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = Signatures.compute(docs, cfg, idCol, textCol)
+    val cands = CandidateGen.minhashStage(sigs, cfg)
+    JaccardVerify.verify(cands.candidates, sigs, cfg)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash Hamming-ball near-dup pairs (token-level semantic near-dup). */
+  def simhashDupPairs(docs: DataFrame, cfg: GraftConfig,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = Signatures.compute(docs, cfg, idCol, textCol)
+    val cands = CandidateGen.simhashStage(sigs, cfg)
+    val fp = sigs.select(col("id"), col("simhash"))
+    cands.candidates
+      .join(fp.select(col("id").as("id1"), col("simhash").as("sh1")), "id1")
+      .join(fp.select(col("id").as("id2"), col("simhash").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs over an (id, embedding Array[Float])
+   * table: brute-force O(n²) with the dot product expressed via
+   * zip_with + aggregate (no UDF; stays in codegen). Scale path = Ann.lsh.
+   */
+  def embeddingCosinePairs(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x) / (col("a.norm") * col("b.norm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}
