@@ -152,7 +152,15 @@ object SparkEntry {
     "q_ann_top3" -> ((s, dir) =>
       Ann.bruteForceTopK(emb(s, dir), 3).orderBy("id", "rank")),
     "q_cosine_pairs" -> ((s, dir) =>
-      Dedup.embeddingCosinePairs(emb(s, dir), 0.4).orderBy("id1", "id2"))
+      Dedup.embeddingCosinePairs(emb(s, dir), 0.4).orderBy("id1", "id2")),
+    "q_pair_features" -> ((s, dir) => {
+      val pairs = Dedup.tokenJaccardPairs(docs(s, dir), ngramThreshold, ngram = 3)
+      PairFeatures.enrich(pairs, docs(s, dir), "doc_id", "text").orderBy("id1", "id2")
+    }),
+    "q_pair_cap" -> ((s, dir) => {
+      val scored = Dedup.tokenJaccardPairs(docs(s, dir), 0.02, ngram = 3)
+      PairFeatures.capPairsPerRecord(scored, 2).orderBy("id1", "id2")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
@@ -316,6 +324,45 @@ object SparkEntry {
            SELECT a.vec_id id1, b.vec_id id2,
              list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) c
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-         WHERE c >= 0.4 ORDER BY 1, 2"""
+         WHERE c >= 0.4 ORDER BY 1, 2""",
+    "q_pair_features" ->
+      s"""WITH t AS (SELECT doc_id, text,
+            string_split_regex(lower(trim(text)), '\\s+') tk FROM documents),
+          g AS (SELECT doc_id, text,
+            list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+              FOR i IN range(1, len(tk) - 1)]) g,
+            list_distinct(regexp_extract_all(lower(text),
+              '[\\p{L}\\p{Nd}]+|[^\\p{L}\\p{Nd}\\s]+')) tok FROM t),
+          p AS (SELECT a.doc_id id1, b.doc_id id2,
+              a.text t1, b.text t2, a.tok tok1, b.tok tok2
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.g, b.g))::DOUBLE
+              / len(list_distinct(a.g || b.g)) >= $ngramThreshold)
+          SELECT id1, id2,
+            round(len(list_intersect(tok1, tok2))::DOUBLE
+              / greatest(len(list_distinct(tok1 || tok2)), 1), 6) AS token_jaccard,
+            round(len(list_intersect(tok1, tok2))::DOUBLE
+              / greatest(least(len(tok1), len(tok2)), 1), 6) AS overlap_coef,
+            round(1.0 - levenshtein(t1, t2)::DOUBLE
+              / greatest(len(t1), len(t2), 1), 6) AS levenshtein_sim
+          FROM p ORDER BY 1, 2""",
+    "q_pair_cap" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+            FOR i IN range(1, len(tk) - 1)]) g FROM t),
+          scored AS (SELECT id1, id2, round(j, 6) AS jaccard FROM (
+            SELECT a.doc_id id1, b.doc_id id2,
+              len(list_intersect(a.g, b.g))::DOUBLE / len(list_distinct(a.g || b.g)) j
+            FROM g a JOIN g b ON a.doc_id < b.doc_id) WHERE j >= 0.02),
+          b AS (SELECT id1 anchor, id2 partner, jaccard s FROM scored
+            UNION ALL SELECT id2, id1, jaccard FROM scored),
+          kept AS (SELECT DISTINCT least(anchor, partner) id1,
+              greatest(anchor, partner) id2 FROM (
+            SELECT anchor, partner, row_number() OVER
+              (PARTITION BY anchor ORDER BY s DESC, partner ASC) rk FROM b)
+            WHERE rk <= 2)
+          SELECT s.id1, s.id2, s.jaccard FROM scored s
+          JOIN kept k ON s.id1 = k.id1 AND s.id2 = k.id2 ORDER BY 1, 2"""
   ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -28,16 +28,24 @@ final case class GraftConfig(
     simThreshold: Double = 0.6,
     // --- SimHash + Hamming-ball stage (north-rule addition) ---
     simHashBits: Int = 64,
-    simHashChunks: Int = 8, // 8 chunks x 8 bits; pigeonhole covers radius < 8
+    // radius+1 chunks of 16 bits: pigeonhole still complete for radius <= 3,
+    // and 2^16 values per chunk keeps buckets sparse. 8-bit chunks (2^8
+    // values) were a scale bug: at 40k docs every chunk bucket held hundreds
+    // of members and near-cap buckets emitted O(cap^2) pairs -> disk blowup.
+    simHashChunks: Int = 4,
     hammingRadius: Int = 3,
     // --- winnowing/suffix-array substring stage (north-rule addition) ---
     minSpanLen: Int = 48, // min exact-duplicate span length (chars)
     winnowWindow: Int = 16, // winnowing guarantee: any match >= minSpanLen
     // shares a selected fingerprint if winnowWindow <= minSpanLen - gramLen + 1
     spanGramLen: Int = 24, // k-gram length for winnowing fingerprints
+    minSpanHits: Int = 2, // pair must share >= this many fingerprints to
+    // become a dedup candidate (1 = a single-phrase coincidence)
     // --- skew handling ---
-    maxBandBucket: Int = 2000, // band-frequency cap: buckets larger than this
-    // are split pairwise-capped and logged to metrics (no silent drops)
+    maxBandBucket: Int = 256, // band-frequency cap: buckets larger than this
+    // degrade to star pairs (logged to metrics — no silent drops). Bounds
+    // worst-case per-bucket emission at C(256,2) ~= 33k pairs; a genuine
+    // near-dup mega-bucket stays fully connected through its star hub.
     // --- determinism ---
     seed: Long = 42L) {
   require(numPerm == bands * rowsPerBand, "numPerm must equal bands*rowsPerBand")

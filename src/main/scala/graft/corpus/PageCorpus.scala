@@ -26,19 +26,37 @@ object PageCorpus {
   final case class Spine(id: Long, cluster: Long, variant: Int)
 
   private val vocab: Array[String] = {
-    // deterministic word list — hash-derived pseudo-words + common glue words
+    // Deterministic word list — hash-derived pseudo-words + common glue
+    // words. Vocabulary size/diversity is a SCALE-REALISM knob: a tiny
+    // syllable space makes every unrelated doc pair share char shingles at
+    // ~LSH-knee similarity, which turns candidate generation quadratic —
+    // unlike real web text, whose cross-document similarity is far below
+    // any useful banding threshold. 24k words over 64 syllables keeps
+    // unrelated-pair shingle Jaccard ≪ the 0.42 knee while planted
+    // duplicates stay ≫ threshold.
     val glue = Array("the", "a", "of", "and", "to", "in", "is", "for", "on", "with",
       "data", "page", "site", "news", "home", "about", "contact", "search")
-    val syll = Array("ba", "co", "de", "fi", "ga", "hu", "ki", "lo", "ma", "ne",
-      "po", "qua", "ri", "su", "ta", "ve", "wo", "xi", "yo", "zu")
-    val derived = (0 until 1200).map { i =>
+    val syll = Array(
+      "ba", "co", "de", "fi", "ga", "hu", "ki", "lo", "ma", "ne",
+      "po", "qua", "ri", "su", "ta", "ve", "wo", "xi", "yo", "zu",
+      "bran", "cle", "drim", "fos", "gur", "hem", "jan", "kol", "lus", "mer",
+      "nix", "ost", "pra", "rud", "sel", "tor", "ulm", "vin", "wex", "yat",
+      "zeb", "ach", "bel", "cim", "dor", "eph", "fra", "gli", "hyn", "ilk",
+      "jos", "kre", "lim", "mot", "nub", "ork", "pel", "quin", "rab", "sto",
+      "tul", "urv", "vos", "wim")
+    val derived = (0 until 24000).map { i =>
       val h = Hashing.mix64(wordSalt(i))
-      val n = 2 + (h & 3).toInt
-      (0 until n).map(j => syll(((h >>> (j * 5 + 2)) & 15).toInt + ((h >>> j) & 3).toInt)).mkString
+      val n = 2 + (h & 3).toInt // 2-5 syllables
+      (0 until n).map(j => syll(((h >>> (j * 6 + 2)) & 63).toInt % syll.length)).mkString
     }
-    glue ++ derived
+    glue ++ derived.distinct
   }
   private def wordSalt(i: Int): Long = 0x517e5eedL * (i + 1) // stable per-index salt
+
+  /** Mildly Zipfian vocab draw: common words shared across docs (realistic),
+    * tail words doc-specific. */
+  private def drawWord(rng: Rng): String =
+    vocab((math.pow(rng.nextDouble(), 1.7) * vocab.length).toInt.min(vocab.length - 1))
 
   /** xorshift-ish deterministic RNG stream keyed by arbitrary longs. */
   private final class Rng(seedParts: Long*) {
@@ -79,7 +97,7 @@ object PageCorpus {
   private def baseTokens(seed: Long, cluster: Long): Array[String] = {
     val rng = new Rng(seed, cluster, 0xba5eL)
     val n = 60 + rng.nextInt(140)
-    Array.fill(n)(vocab(rng.nextInt(vocab.length)))
+    Array.fill(n)(drawWord(rng))
   }
 
   private val boilerplates = Array(
@@ -101,7 +119,7 @@ object PageCorpus {
         val pos = rng.nextInt(toks.length)
         op match {
           case 0 => if (toks.length > 30) toks.remove(pos) // drop
-          case 1 => toks.insert(pos, vocab(rng.nextInt(vocab.length))) // insert
+          case 1 => toks.insert(pos, drawWord(rng)) // insert
           case _ => // swap adjacent
             if (pos + 1 < toks.length) {
               val t = toks(pos); toks(pos) = toks(pos + 1); toks(pos + 1) = t

@@ -52,25 +52,34 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = prep(emb, idCol, vecCol)
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
-    // deterministic pseudo-gaussian planes: sum of 4 uniform draws per coord
-    def coord(t: Int, p: Int, d: Int): Double = {
-      val u = (0 until 4).map { r =>
-        val h = graft.functions.Hashing.mix64(
-          seed ^ (t.toLong << 40) ^ (p.toLong << 20) ^ (d.toLong << 2) ^ r)
-        (h >>> 11) * 1.1102230246251565e-16 - 0.5
+    // Deterministic pseudo-gaussian planes: sum of 4 uniform draws per
+    // coord. Precomputed once on the driver and closed over by ONE udf —
+    // building nTables*nPlanes*dim column expressions instead blows codegen
+    // up to multi-MB task binaries (observed 9.7 MiB) and dominates runtime.
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(nTables, nPlanes, dim) { (t, p, d) =>
+        (0 until 4).map { r =>
+          val h = graft.functions.Hashing.mix64(
+            seed ^ (t.toLong << 40) ^ (p.toLong << 20) ^ (d.toLong << 2) ^ r)
+          (h >>> 11) * 1.1102230246251565e-16 - 0.5
+        }.sum
       }
-      u.sum
+    val bucketsUdf = udf { (v: Seq[Double]) =>
+      Array.tabulate(nTables) { t =>
+        var bits = 0L
+        var p = 0
+        while (p < nPlanes) {
+          val plane = planes(t)(p)
+          var dot = 0.0
+          var d = 0
+          while (d < dim && d < v.length) { dot += v(d) * plane(d); d += 1 }
+          if (dot >= 0) bits |= (1L << p)
+          p += 1
+        }
+        bits + (t.toLong << 32) // disjoint bucket space per table
+      }
     }
-    val tables = (0 until nTables).map { t =>
-      val bits = (0 until nPlanes).map { p =>
-        val dot = (0 until dim).map(d =>
-          element_at(col("v"), d + 1) * lit(coord(t, p, d))).reduce(_ + _)
-        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      e.select(col("id"),
-        (bits + lit(t.toLong << 32)).as("bucket")) // disjoint bucket space per table
-    }
-    tables.reduce(_ union _)
+    e.select(col("id"), explode(bucketsUdf(col("v"))).as("bucket"))
   }
 
   /**

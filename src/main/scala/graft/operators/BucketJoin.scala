@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -19,36 +19,85 @@ import org.apache.spark.sql.functions._
  *    n-1 pairs, computed with a plain join — never a collect_list, so no
  *    single-bucket memory hot spot. Star preserves connectivity for
  *    clustering; pairs that fail verification through the hub are a logged,
- *    recall-accounted tradeoff (no silent caps — see oversizeLog).
+ *    recall-accounted tradeoff (no silent caps — see oversizeLog);
+ *  - an optional pairFilter (e.g. the SimHash Hamming-ball radius check) is
+ *    applied INSIDE the join stage, before the final distinct — so filtered
+ *    pairs die streaming in the join task and never reach the pair-key
+ *    exchange. Pushing it after the distinct would shuffle every raw
+ *    collision pair.
  */
 object BucketJoin {
 
   final case class Result(pairs: DataFrame, oversizeLog: DataFrame)
 
+  /** What to do with buckets larger than the cap. */
+  sealed trait OversizePolicy
+  /** n−1 hub pairs around the bucket min — keeps the bucket connected for
+    * clustering. Right when bucket membership implies true similarity
+    * (MinHash band equality, SimHash chunk equality). */
+  case object Star extends OversizePolicy
+  /** Emit nothing (logged). Right when a universal bucket carries no
+    * pair-level evidence — e.g. a boilerplate winnowing fingerprint shared
+    * by every page of a site: the shared span is real but says nothing
+    * about whole-document near-duplication, and star pairs there are pure
+    * verify-stage waste (measured: 1.6M of 3.2M candidates at 160k pages). */
+  case object Drop extends OversizePolicy
+
   /**
-   * memberships: DataFrame(id: Long, bucket: Long). Returns distinct
-   * candidate pairs (id1 < id2) + a log of capped buckets.
+   * memberships: DataFrame(id: Long, bucket: Long [, payload...]). Returns
+   * distinct candidate pairs (id1 < id2) + a log of capped buckets.
+   * pairFilter receives the two join-side alias prefixes ("a", "b") and
+   * builds a boolean Column over the payload columns, e.g.
+   * (a, b) => bit_count(col(s"$a.fp") ^ col(s"$b.fp")) <= r.
    */
-  def pairs(memberships: DataFrame, cap: Int, stage: String): Result = {
-    val m = memberships.select(col("id").cast("long"), col("bucket").cast("long"))
+  /**
+   * countHits = true: output carries a `hits` column (number of distinct
+   * buckets the pair collided in) instead of plain distinct — same shuffle,
+   * lets callers demand corroboration (e.g. >= 2 shared winnowing
+   * fingerprints) to kill single-bucket coincidences.
+   */
+  def pairs(memberships: DataFrame, cap: Int, stage: String,
+      pairFilter: Option[(String, String) => Column] = None,
+      oversize: OversizePolicy = Star,
+      countHits: Boolean = false): Result = {
+    val m = memberships.withColumn("id", col("id").cast("long"))
+      .withColumn("bucket", col("bucket").cast("long"))
     val stats = m.groupBy("bucket")
       .agg(count(lit(1)).as("bucket_n"), min("id").as("bucket_min"))
 
     val joined = m.join(stats, "bucket")
 
     val small = joined.filter(col("bucket_n") <= cap)
-    val smallPairs = small.as("a")
+    val smallJoined = small.as("a")
       .join(small.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val smallFiltered = pairFilter match {
+      case Some(f) => smallJoined.filter(f("a", "b"))
+      case None => smallJoined
+    }
+    val smallPairs = smallFiltered.select(col("a.id").as("id1"), col("b.id").as("id2"))
 
-    val big = joined.filter(col("bucket_n") > cap)
-    val starPairs = big.filter(col("id") =!= col("bucket_min"))
-      .select(col("bucket_min").as("id1"), col("id").as("id2"))
+    // star pairs skip pairFilter (the hub link is connectivity-only and is
+    // verified downstream like every other candidate)
+    val bigPairs = oversize match {
+      case Star =>
+        joined.filter(col("bucket_n") > cap)
+          .filter(col("id") =!= col("bucket_min"))
+          .select(col("bucket_min").as("id1"), col("id").as("id2"))
+      case Drop =>
+        val spark = memberships.sparkSession
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("id1", "id2")
+    }
 
     val oversizeLog = stats.filter(col("bucket_n") > cap)
-      .select(lit(stage).as("stage"), col("bucket"), col("bucket_n"))
+      .select(lit(stage).as("stage"), col("bucket"), col("bucket_n"),
+        lit(oversize.toString).as("policy"))
 
-    Result(smallPairs.union(starPairs).distinct(), oversizeLog)
+    val all = smallPairs.union(bigPairs)
+    val out =
+      if (countHits) all.groupBy("id1", "id2").agg(count(lit(1)).as("hits"))
+      else all.distinct()
+    Result(out, oversizeLog)
   }
 }

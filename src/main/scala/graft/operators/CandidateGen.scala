@@ -37,15 +37,15 @@ object CandidateGen {
    */
   def simhashStage(sigs: DataFrame, cfg: GraftConfig): Result = {
     val nonEmpty = sigs.filter(col("n_tokens") > 0)
-    val m = nonEmpty.select(col("id"), explode(col("simhash_chunks")).as("bucket"))
-    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "simhash")
-    val fp = nonEmpty.select(col("id"), col("simhash"))
-    val inBall = r.pairs
-      .join(fp.withColumnRenamed("id", "id1").withColumnRenamed("simhash", "sh1"), "id1")
-      .join(fp.withColumnRenamed("id", "id2").withColumnRenamed("simhash", "sh2"), "id2")
-      .filter(bit_count(col("sh1").bitwiseXOR(col("sh2"))) <= cfg.hammingRadius)
-      .select(col("id1"), col("id2"), lit("simhash").as("stage"))
-    Result(inBall, r.oversizeLog)
+    // fingerprint travels WITH the membership row so the Hamming check runs
+    // inside the bucket-join stage: non-ball collision pairs die streaming
+    // in the join task and never reach the distinct's pair-key exchange
+    val m = nonEmpty.select(col("id"), explode(col("simhash_chunks")).as("bucket"),
+      col("simhash"))
+    val ball: (String, String) => org.apache.spark.sql.Column = (a, b) =>
+      bit_count(col(s"$a.simhash").bitwiseXOR(col(s"$b.simhash"))) <= cfg.hammingRadius
+    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "simhash", Some(ball))
+    Result(r.pairs.withColumn("stage", lit("simhash")), r.oversizeLog)
   }
 
   /**
@@ -58,8 +58,16 @@ object CandidateGen {
    */
   def spanStage(sigs: DataFrame, cfg: GraftConfig): Result = {
     val m = sigs.select(col("id"), explode(col("span_keys")).as("bucket"))
-    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "span")
-    Result(r.pairs.withColumn("stage", lit("span")), r.oversizeLog)
+    // oversize fingerprint buckets are DROPPED (logged): a fingerprint
+    // shared by thousands of pages is boilerplate — real near-dup pairs
+    // still share many normal-sized fingerprint buckets. Corroboration:
+    // a pair must share >= minSpanHits fingerprints — a single shared
+    // 24-gram window is a phrase coincidence, true near-dup docs share
+    // dozens (measured: cuts span candidates ~20x at 160k pages).
+    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "span", None,
+      BucketJoin.Drop, countHits = true)
+    Result(r.pairs.filter(col("hits") >= cfg.minSpanHits).drop("hits")
+      .withColumn("stage", lit("span")), r.oversizeLog)
   }
 
   /**

@@ -30,6 +30,16 @@ object ConnectedComponents {
    */
   def components(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
     val spark = edges.sparkSession
+    // AQE is pure overhead for the loop's many tiny shuffles: every query
+    // stage materializes + re-plans, adding driver latency per round that
+    // dominates on small edge sets. Disable inside the loop, restore after.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try components0(edges, maxIterations)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def components0(edges: DataFrame, maxIterations: Int): DataFrame = {
     // canonical directed edges large → small; drop self-loops
     var e = edges.select(
       greatest(col("id1"), col("id2")).as("src"),

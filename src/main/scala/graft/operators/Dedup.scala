@@ -62,7 +62,9 @@ object Dedup {
   /** MinHash+LSH near-dup pairs over any (id, text) table — the scale path. */
   def minhashDupPairs(docs: DataFrame, cfg: GraftConfig,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // persisted: consumed by the banding stage and twice by the verify joins
     val sigs = Signatures.compute(docs, cfg, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = CandidateGen.minhashStage(sigs, cfg)
     JaccardVerify.verify(cands.candidates, sigs, cfg)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))

@@ -27,6 +27,7 @@ object Linkage {
       idCol: String = "id", textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
     val sigs = Signatures.compute(records, cfg, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = CandidateGen.all(sigs, cfg).candidates
     val verified = JaccardVerify.verify(cands, sigs, cfg)
     val src = records.select(col(idCol).cast("long").as("id"),

@@ -19,6 +19,7 @@ object Signatures {
 
   final case class SigRow(
       shingles: Array[Long],
+      minhash: Array[Long],
       band_keys: Array[Long],
       simhash: Long,
       simhash_chunks: Array[Long],
@@ -29,8 +30,8 @@ object Signatures {
   /** Column-level signature UDF (one pass; see TextSignatures.compute). */
   def sigUdf(cfg: GraftConfig) = udf { (text: String) =>
     val s = TextSignatures.compute(text, cfg)
-    SigRow(s.shingles, s.bandKeys, s.simhash, s.simhashChunks, s.spanKeys,
-      s.nShingles, s.nTokens)
+    SigRow(s.shingles, s.minhash, s.bandKeys, s.simhash, s.simhashChunks,
+      s.spanKeys, s.nShingles, s.nTokens)
   }
 
   /**
@@ -44,12 +45,9 @@ object Signatures {
       .select(col("id"), col("sig.*"))
   }
 
-  /** Jaccard of two sorted distinct shingle-hash arrays, as a Column. */
-  val jaccardUdf = udf { (a: Array[Long], b: Array[Long]) =>
-    graft.functions.Hashing.jaccardSorted(
-      if (a == null) Array.empty[Long] else a,
-      if (b == null) Array.empty[Long] else b)
-  }
-
-  def jaccard(a: Column, b: Column): Column = jaccardUdf(a, b)
+  /** Jaccard of two sorted distinct shingle-hash arrays — native Catalyst
+    * expression (codegen'd, zero-copy over ArrayData); null → null, dropped
+    * by the downstream threshold filter. */
+  def jaccard(a: Column, b: Column): Column =
+    graft.expressions.SimilarityExpressions.jaccardSorted(a, b)
 }

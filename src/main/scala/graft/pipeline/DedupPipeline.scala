@@ -36,7 +36,10 @@ final class DedupPipeline(
 
   /** pages(id, text, ...) → (id, cluster) for every input page. */
   def run(pages: DataFrame): Result = {
-    val sigs = stage("signatures") {
+    // signatures feed 3 blocking stages + 2 verify joins → persisted;
+    // candidates/verified each have a single consumer → no persist (the
+    // CC loop localCheckpoints its edge set on entry anyway)
+    val sigs = stage("signatures", persist = true) {
       Signatures.compute(pages, cfg)
     }
     val candStage = stage("candidates") {
@@ -54,10 +57,20 @@ final class DedupPipeline(
     Result(sigs, candStage, verified, assignments)
   }
 
-  /** Run a stage, or load it from checkpoint if already completed. */
-  private def stage(name: String)(body: => DataFrame): DataFrame =
+  /** Run a stage, or load it from checkpoint if already completed.
+    *
+    * Without a checkpoint dir, a stage with `persist = true` is cached
+    * MEMORY_AND_DISK: used for outputs with >= 2 downstream consumers,
+    * where Catalyst would otherwise re-execute the whole upstream plan —
+    * including the per-document signature UDF — once per consumer. At
+    * cluster scale the checkpoint Parquet plays this role. Single-consumer
+    * stages are left lazy (persisting them costs a full extra
+    * materialization for nothing). */
+  private def stage(name: String, persist: Boolean = false)(body: => DataFrame): DataFrame =
     checkpointDir match {
-      case None => body
+      case None =>
+        if (persist) body.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else body
       case Some(dir) =>
         val path = s"$dir/$name"
         val ok = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_OK")

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.config.GraftConfig
+import graft.operators.Signatures
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental crawl-snapshot dedup via Structured Streaming (engine
+ * extension — the reference is purely batch, SURVEY.md §2 streaming row;
+ * this is the streaming shape a continuously-crawling training-data
+ * pipeline needs).
+ *
+ * Shape: a STREAM of newly crawled pages is signed with the same
+ * deterministic kernel, exploded to band keys, and stream-static joined
+ * against the accumulated band table of the existing corpus — every
+ * micro-batch emits candidate duplicate pairs (new_id, existing_id) without
+ * recomputing anything over the old corpus. Exactly the batch pipeline's
+ * stage-2 join with one side streaming; the static side is the stage-1
+ * checkpoint Parquet, so batch and streaming share one storage layout.
+ *
+ * Verification/clustering stay in the batch layer (candidates are appended
+ * and periodically folded in by re-running CC on the union — the standard
+ * lambda shape for web-scale dedup).
+ */
+object IncrementalDedup {
+
+  /** Static side: (id, bucket) band memberships of the existing corpus. */
+  def staticBandTable(pages: DataFrame, cfg: GraftConfig): DataFrame =
+    Signatures.compute(pages, cfg)
+      .select(col("id"), explode(col("band_keys")).as("bucket"))
+
+  /**
+   * streamingPages(id, text) [streaming DF] x static band table →
+   * streaming candidate pairs (new_id, existing_id, bucket).
+   */
+  def candidates(streamingPages: DataFrame, staticBands: DataFrame,
+      cfg: GraftConfig): DataFrame = {
+    val newBands = Signatures.compute(streamingPages, cfg)
+      .select(col("id").as("new_id"), explode(col("band_keys")).as("bucket"))
+    newBands.join(staticBands.withColumnRenamed("id", "existing_id"), "bucket")
+      .filter(col("new_id") =!= col("existing_id"))
+      .select(col("new_id"), col("existing_id"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.config.GraftConfig
+import graft.corpus.PageCorpus
+import graft.pipeline.DedupPipeline
+import org.apache.spark.scheduler._
+import scala.collection.mutable
+
+/**
+ * Job-level decomposition of the flagship pipeline: per Spark job, wall time
+ * vs summed task time — anything with wall >> taskTime/cores is
+ * driver/scheduler latency, i.e. the serial fraction that kills scaling.
+ * Usage: runMain graft.tools.JobProfile [nPages] [cores]
+ */
+object JobProfile {
+
+  final class L extends SparkListener {
+    case class J(start: Long, var end: Long = 0, var taskMs: Long = 0,
+        var tasks: Int = 0, var desc: String = "")
+    val jobs = mutable.LinkedHashMap[Int, J]()
+    private val stageToJob = mutable.HashMap[Int, Int]()
+    override def onJobStart(e: SparkListenerJobStart): Unit = {
+      val j = J(e.time)
+      j.desc = Option(e.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+      jobs(e.jobId) = j
+      e.stageIds.foreach(s => stageToJob(s) = e.jobId)
+    }
+    override def onJobEnd(e: SparkListenerJobEnd): Unit =
+      jobs.get(e.jobId).foreach(_.end = e.time)
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+      stageToJob.get(e.stageId).flatMap(jobs.get).foreach { j =>
+        j.taskMs += e.taskInfo.duration
+        j.tasks += 1
+      }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nPages = if (args.length > 0) args(0).toInt else 80000
+    val cores = if (args.length > 1) args(1) else "8"
+    val spark = graft.Bench.makeSession(cores)
+    val listener = new L
+    spark.sparkContext.addSparkListener(listener)
+
+    graft.Bench.pipelineDocsPerSec(spark, 2000) // warmup
+    listener.jobs.clear()
+    val t0 = System.nanoTime()
+    val (dps, _) = graft.Bench.pipelineDocsPerSec(spark, nPages)
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1000)
+
+    val js = listener.jobs.toSeq
+    val jobWall = js.map { case (_, j) => (j.end - j.start) / 1e3 }.sum
+    println(f"[jobprofile] pages=$nPages cores=$cores wall=$wall%.1f s dps=$dps%.0f " +
+      f"jobs=${js.size} jobWallSum=$jobWall%.1f s betweenJobs=${wall - jobWall}%.1f s")
+    js.sortBy { case (_, j) => -(j.end - j.start) }.take(20).foreach { case (id, j) =>
+      val w = (j.end - j.start) / 1e3
+      val t = j.taskMs / 1e3
+      println(f"[jobprofile] job $id%3d wall=$w%7.2f s taskSum=$t%8.2f s " +
+        f"tasks=${j.tasks}%4d par=${t / math.max(w, 0.001)}%5.2f")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.config.GraftConfig
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan assertions — the "would this survive 100×" checks from
+ * ARCHITECTURE.md, pinned so regressions in plan shape fail the build:
+ *  - column pruning reaches the scan (signatures read only id+text),
+ *  - predicate pushdown reaches the scan,
+ *  - the bucket self-join reuses one exchange (no duplicate shuffle of the
+ *    membership table),
+ *  - no cartesian product anywhere in the flagship plan.
+ */
+class PlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  val cfg = GraftConfig.default
+  val docsPath = "/root/testdata/sf0.001/documents.parquet"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("signature projection prunes the scan to id+text (ReadSchema)") {
+    val docs = spark.read.parquet(docsPath)
+    val p = plan(Signatures.compute(docs, cfg, "doc_id", "text"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"scan must not read unused columns: $readSchema")
+  }
+
+  test("filters push down into the parquet scan (PushedFilters)") {
+    val docs = spark.read.parquet(docsPath).filter($"lang" === "en")
+      .select("doc_id", "text")
+    val p = plan(docs)
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), p)
+  }
+
+  test("bucket join: bounded exchange count; stats side broadcast at small scale") {
+    val docs = spark.read.parquet(docsPath)
+    val sigs = Signatures.compute(docs, cfg, "doc_id", "text")
+    val m = sigs.select(col("id"), explode(col("band_keys")).as("bucket"))
+    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "minhash")
+    r.pairs.collect() // let AQE finalize (runtime exchange reuse / broadcasts)
+    val p = plan(r.pairs)
+    // regression guard: the whole candidate-pair job must stay within its
+    // shuffle budget — stats agg (x3 branches pre-AQE-reuse) + final distinct
+    // budget: 3 stats-agg partials (pre-AQE-reuse branches), join-side
+    // repartitions, final distinct — anything beyond 8 means a regression
+    // added an unplanned wide exchange
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 8, s"bucket join shuffle budget exceeded ($shuffles):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ReusedExchange"),
+      s"small-scale stats join should broadcast or reuse:\n$p")
+  }
+
+  test("flagship pipeline plan contains no cartesian product") {
+    val (pages, _) = graft.corpus.PageCorpus.generate(spark, 200, cfg.seed)
+    val sigs = Signatures.compute(pages.toDF(), cfg)
+    val cands = CandidateGen.all(sigs, cfg).candidates
+    val verified = JaccardVerify.verify(cands, sigs, cfg)
+    val p = plan(verified)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("whole-stage codegen covers the signature projection") {
+    val docs = spark.read.parquet(docsPath)
+    val df = Signatures.compute(docs, cfg, "doc_id", "text")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // scan -> UDF projection -> struct expansion fused into codegen id 1
+    assert(formatted.contains("[codegen id : 1]"), formatted)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.functions.Tokenize
+import graft.io.PairIO
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PairFeaturesIOSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("Tokenize.default matches reference tokenizer semantics (P2)") {
+    // reference default_tokenizer: word runs (no underscore) | punct runs
+    val got = Seq("Foo_bar-baz 99!?x").toDF("t")
+      .select(Tokenize.default($"t")).head().getSeq[String](0)
+    assert(got == Seq("foo", "_", "bar", "-", "baz", "99", "!?", "x"))
+  }
+
+  test("PairFeatures.enrich computes jaccard/overlap/levenshtein") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "q r s")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val f = PairFeatures.enrich(pairs, docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(f((1L, 2L))._1 == 0.6) // 3/5
+    assert(f((1L, 2L))._2 == 0.75) // 3/4
+    assert(f((1L, 2L))._3 > 0.8) // 1 edit over 7 chars
+    assert(f((1L, 3L))._1 == 0.0)
+  }
+
+  test("PairFeatures.capPairsPerRecord bounds pairs like ann_k (W1)") {
+    // star around 1: pairs (1,x) scored descending; cap k=2 keeps best 2 per record
+    val scored = Seq(
+      (1L, 2L, 0.9), (1L, 3L, 0.8), (1L, 4L, 0.7), (1L, 5L, 0.6))
+      .toDF("id1", "id2", "jaccard")
+    val capped = PairFeatures.capPairsPerRecord(scored, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1's top-2 = (1,2),(1,3); but (1,4) survives via 4's own top-k (4 has
+    // only one partner) — either-side semantics like bidirectional k-NN
+    assert(capped == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+    val capped1 = PairFeatures.capPairsPerRecord(scored, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped1.contains((1L, 2L)))
+  }
+
+  test("PairIO: sink round-trip + labeled pairs + file-based evaluation (S3/S5/M5)") {
+    val dir = Files.createTempDirectory("graft_pairs").toString
+    val found = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val pos = Seq((1L, 2L), (5L, 6L)).toDF("id1", "id2")
+    PairIO.writePairs(found, s"$dir/found")
+    PairIO.writePairs(pos, s"$dir/pos")
+    assert(PairIO.readPairs(spark, s"$dir/found").count() == 2)
+
+    val m = PairIO.evaluateOutput(spark, s"$dir/found", s"$dir/pos", nRecords = 6)
+    assert(m.truePositives == 1 && m.precision == 0.5 && m.recall == 0.5)
+
+    // labeled CSV
+    val csv = s"$dir/labeled.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      "ltable_id,rtable_id,label\n1,2,1\n3,4,0\n5,6,1\n")
+    val (p, n) = PairIO.readLabeledPairs(spark, csv)
+    assert(p.count() == 2 && n.count() == 1)
+
+    // two-source union (S2)
+    val u = PairIO.unionTagged(Seq((1L, "x")).toDF("id", "text"),
+      Seq((2L, "y")).toDF("id", "text"), "amazon", "google")
+    assert(u.groupBy("source").count().count() == 2)
+  }
+}
