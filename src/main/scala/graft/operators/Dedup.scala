@@ -36,10 +36,11 @@ object Dedup {
   }
 
   /**
-   * Word-token n-gram Jaccard near-dup pairs, all built-ins (codegen'd):
-   * distinct token-n-gram sets via split + transform, pairwise Jaccard via
-   * array_intersect / array_union sizes. O(n²) compare — the oracle-exact
-   * small-scale form; the LSH path below is the scale path.
+   * Word-token n-gram Jaccard near-dup pairs — EXACT (same result set as a
+   * brute-force all-pairs compare, which the DuckDB oracle still uses), but
+   * executed as a prefix-filter set-similarity equi-join (SetSimJoin:
+   * AllPairs/PPJoin), so it is sub-quadratic and shuffle-partitionable at
+   * web scale instead of a cartesian product.
    */
   def tokenJaccardPairs(docs: DataFrame, threshold: Double, ngram: Int = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -50,13 +51,7 @@ object Dedup {
         slice(toks, lit(1), greatest(size(toks) - (ngram - 1), lit(0))),
         (_, i) => concat_ws(" ", slice(toks, i + 1, lit(ngram)))))
     val d = docs.select(col(idCol).as("id"), grams.as("g"))
-    d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
-          size(array_union(col("a.g"), col("b.g"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        round(col("jaccard"), 6).as("jaccard"))
+    SetSimJoin.jaccardSelfJoin(d, threshold)
   }
 
   /** MinHash+LSH near-dup pairs over any (id, text) table — the scale path. */

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact set-similarity self-join via prefix filtering (AllPairs/PPJoin:
+ * Bayardo et al. WWW'07 "Scaling Up All Pairs Similarity Search";
+ * Xiao et al. WWW'08 "Efficient Similarity Joins for Near Duplicate
+ * Detection"). Produces EXACTLY the pairs with Jaccard >= threshold — same
+ * result set as a brute-force O(n²) compare, but as a chain of equi-joins
+ * that Catalyst can shuffle-partition, so it scales horizontally.
+ *
+ * The filter chain (each is a provable no-false-negative prune):
+ *  1. length filter: J(a,b) >= t ⇒ min(|a|,|b|) >= t·max(|a|,|b|);
+ *  2. prefix filter: order every set by a GLOBAL token order (ascending
+ *     document frequency — rarest first, so prefixes fan out least). For
+ *     Jaccard >= t, two sets must share >= 1 token within their first
+ *     (n − ⌈t·n⌉ + 1) tokens: equi-join on exploded prefix tokens only;
+ *  3. positional filter: the first common token at 0-based positions
+ *     (pa, pb) bounds overlap by min(|a|−pa, |b|−pb), which must reach
+ *     ⌈t/(1+t)·(|a|+|b|)⌉ — a pair's earliest-common-token row always
+ *     satisfies this when the pair is a true match, so pruning is safe;
+ *  4. exact verify: survivors re-join their full token arrays and compute
+ *     true Jaccard via array_intersect/array_union (codegen'd built-ins).
+ *
+ * Scale shape: shuffles are all equi (token-df groupBy, per-id sort-agg,
+ * prefix-token equi-join, pair distinct, two id-keyed verify joins); no
+ * cartesian/theta join anywhere. Worst case degrades with threshold → 0
+ * (prefix → whole set), which is inherent to exact joins; the LSH stages
+ * remain the approximate path for very low thresholds.
+ */
+object SetSimJoin {
+
+  /**
+   * d: DataFrame(id: any integral, g: Array[String]) — g must be distinct
+   * (use array_distinct upstream). Returns (id1, id2, jaccard) with
+   * id1 < id2 and jaccard >= threshold, jaccard rounded to 6 places
+   * (byte-compatible with the brute-force oracle form).
+   */
+  def jaccardSelfJoin(d0: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "0 < threshold <= 1")
+    val d = d0.select(col("id"), col("g"))
+
+    // 1 shuffle: global token order key = (document frequency, token).
+    // Rarest-first prefixes minimize join fan-out: a token with df=k
+    // contributes at most C(k,2) candidate rows, and low-df tokens
+    // dominate the prefixes.
+    val toks = d.select(col("id"), explode(col("g")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // per-id token list sorted by the global order, + set size
+    val sorted = toks.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"),
+        count(lit(1)).as("n"))
+
+    // prefix explode: first n − ⌈t·n⌉ + 1 tokens, with 0-based position
+    val pfxLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    val pfx = sorted
+      .select(col("id"), col("n"),
+        posexplode(slice(col("st"), lit(1), pfxLen)).as(Seq("pos", "s")))
+      .select(col("id"), col("n"), col("pos"), col("s.tok").as("tok"))
+
+    // candidate equi-join on prefix token + length & positional filters
+    val reqOverlap =
+      ceil(lit(threshold) / (1 + threshold) * (col("a.n") + col("b.n")))
+    val cands = pfx.as("a").join(pfx.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id")
+          && least(col("a.n"), col("b.n")) >=
+               lit(threshold) * greatest(col("a.n"), col("b.n"))
+          && least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+               reqOverlap)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+
+    // exact verify — identical arithmetic to the brute-force form, so the
+    // result is byte-identical to the O(n²) oracle
+    cands
+      .join(d.select(col("id").as("id1"), col("g").as("g1")), "id1")
+      .join(d.select(col("id").as("id2"), col("g").as("g2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}
