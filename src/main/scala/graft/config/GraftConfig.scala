@@ -36,11 +36,17 @@ final case class GraftConfig(
     hammingRadius: Int = 3,
     // --- winnowing/suffix-array substring stage (north-rule addition) ---
     minSpanLen: Int = 48, // min exact-duplicate span length (chars)
-    winnowWindow: Int = 16, // winnowing guarantee: any match >= minSpanLen
-    // shares a selected fingerprint if winnowWindow <= minSpanLen - gramLen + 1
+    winnowWindow: Int = 16, // winnowing guarantee: any common substring of
+    // length >= winnowWindow + spanGramLen - 1 (= 39 at the defaults) shares
+    // >= 1 selected fingerprint; since 39 <= minSpanLen the single-hit
+    // blocker is complete for spans >= minSpanLen
     spanGramLen: Int = 24, // k-gram length for winnowing fingerprints
     minSpanHits: Int = 2, // pair must share >= this many fingerprints to
-    // become a dedup candidate (1 = a single-phrase coincidence)
+    // become a dedup candidate. EXPLICIT RECALL TRADEOFF: requiring 2 hits
+    // breaks the single-fingerprint completeness guarantee above — a pair
+    // sharing exactly one selected window is dropped as a phrase
+    // coincidence (true near-dup docs share dozens of fingerprints;
+    // measured ~20x candidate reduction at 160k pages)
     // --- skew handling ---
     maxBandBucket: Int = 256, // band-frequency cap: buckets larger than this
     // degrade to star pairs (logged to metrics — no silent drops). Bounds
@@ -52,6 +58,8 @@ final case class GraftConfig(
   require(simThreshold >= 0 && simThreshold <= 1, "0 <= simThreshold <= 1")
   require(hammingRadius < simHashChunks, "pigeonhole needs radius < chunks")
   require(simHashBits == 64, "SimHash packs into one BIGINT")
+  require(winnowWindow + spanGramLen - 1 <= minSpanLen,
+    "winnowing completeness needs winnowWindow + spanGramLen - 1 <= minSpanLen")
 }
 
 object GraftConfig {

@@ -89,13 +89,18 @@ object Ann {
    */
   def lshTopK(emb: DataFrame, k: Int, nPlanes: Int = 12, nTables: Int = 6,
       seed: Long = 42L, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", bucketCap: Int = 2048): DataFrame = {
     val e = prep(emb, idCol, vecCol)
     val buckets = hyperplaneBuckets(emb, nPlanes, nTables, seed, idCol, vecCol)
-    val cands = buckets.as("x").join(buckets.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("id"), col("y.id").as("neighbor"))
-      .distinct()
+    // capped bucket join (same machinery as every blocking stage): a dense
+    // embedding region would otherwise make one mega-bucket emit O(n²)
+    // candidate rows. Oversize buckets degrade to star pairs around the
+    // bucket min (logged) — each member still gets >= 1 candidate.
+    val capped = BucketJoin.pairs(
+      buckets.select(col("id"), col("bucket")), bucketCap, "ann_lsh")
+    val undirected = capped.pairs
+    val cands = undirected.select(col("id1").as("id"), col("id2").as("neighbor"))
+      .union(undirected.select(col("id2").as("id"), col("id1").as("neighbor")))
     val scored = cands
       .join(e.select(col("id"), col("v"), col("norm")), "id")
       .join(e.select(col("id").as("neighbor"), col("v").as("nv"),

@@ -20,10 +20,22 @@ object CandidateGen {
 
   final case class Result(candidates: DataFrame, oversizeLog: DataFrame)
 
+  type PairFilter = (String, String) => org.apache.spark.sql.Column
+
+  /**
+   * `extra` columns ride along with each membership row and `pairFilter`
+   * (over the "a"/"b" join aliases) is evaluated INSIDE the bucket join —
+   * e.g. record linkage pushes source-disjointness here, so intra-source
+   * collisions die streaming in the join task instead of being verified
+   * and discarded afterwards (reference cross-source-only invariant,
+   * entity_embed/indexes.py:123-130).
+   */
   /** MinHash LSH banding (SURVEY.md J1/J2): explode band keys → bucket join. */
-  def minhashStage(sigs: DataFrame, cfg: GraftConfig): Result = {
-    val m = sigs.select(col("id"), explode(col("band_keys")).as("bucket"))
-    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "minhash")
+  def minhashStage(sigs: DataFrame, cfg: GraftConfig,
+      extra: Seq[String] = Nil, pairFilter: Option[PairFilter] = None): Result = {
+    val m = sigs.select(col("id") +: explode(col("band_keys")).as("bucket") +:
+      extra.map(col): _*)
+    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "minhash", pairFilter)
     Result(r.pairs.withColumn("stage", lit("minhash")), r.oversizeLog)
   }
 
@@ -35,36 +47,46 @@ object CandidateGen {
    * bit_count(a^b) <= r check is applied right here (threshold pushdown —
    * reference J4, indexes.py:40) so only in-ball pairs reach verification.
    */
-  def simhashStage(sigs: DataFrame, cfg: GraftConfig): Result = {
+  def simhashStage(sigs: DataFrame, cfg: GraftConfig,
+      extra: Seq[String] = Nil, pairFilter: Option[PairFilter] = None): Result = {
     val nonEmpty = sigs.filter(col("n_tokens") > 0)
     // fingerprint travels WITH the membership row so the Hamming check runs
     // inside the bucket-join stage: non-ball collision pairs die streaming
     // in the join task and never reach the distinct's pair-key exchange
-    val m = nonEmpty.select(col("id"), explode(col("simhash_chunks")).as("bucket"),
-      col("simhash"))
-    val ball: (String, String) => org.apache.spark.sql.Column = (a, b) =>
+    val m = nonEmpty.select(col("id") +:
+      explode(col("simhash_chunks")).as("bucket") +: col("simhash") +:
+      extra.map(col): _*)
+    val ball: PairFilter = (a, b) =>
       bit_count(col(s"$a.simhash").bitwiseXOR(col(s"$b.simhash"))) <= cfg.hammingRadius
-    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "simhash", Some(ball))
+    val combined: PairFilter = pairFilter match {
+      case Some(f) => (a, b) => ball(a, b) && f(a, b)
+      case None => ball
+    }
+    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "simhash", Some(combined))
     Result(r.pairs.withColumn("stage", lit("simhash")), r.oversizeLog)
   }
 
   /**
    * Substring stage (north-rule "suffix-array substring stage"): winnowing
    * fingerprints guarantee that any exact common substring of length >=
-   * winnowWindow + spanGramLen - 1 = minSpanLen shares a selected
-   * fingerprint, so the equi-join on fingerprints is a complete blocker for
-   * long exact spans. Exact span extents are recovered per fingerprint
+   * winnowWindow + spanGramLen - 1 (<= minSpanLen, enforced by GraftConfig)
+   * shares a selected fingerprint, so the single-hit equi-join on
+   * fingerprints is a complete blocker for spans >= minSpanLen (the
+   * minSpanHits >= 2 corroboration below trades that completeness for a
+   * ~20x candidate reduction — see GraftConfig). Exact span extents are recovered per fingerprint
    * group by SuffixSpans (suffix-array over the co-bucketed docs).
    */
-  def spanStage(sigs: DataFrame, cfg: GraftConfig): Result = {
-    val m = sigs.select(col("id"), explode(col("span_keys")).as("bucket"))
+  def spanStage(sigs: DataFrame, cfg: GraftConfig,
+      extra: Seq[String] = Nil, pairFilter: Option[PairFilter] = None): Result = {
+    val m = sigs.select(col("id") +: explode(col("span_keys")).as("bucket") +:
+      extra.map(col): _*)
     // oversize fingerprint buckets are DROPPED (logged): a fingerprint
     // shared by thousands of pages is boilerplate — real near-dup pairs
     // still share many normal-sized fingerprint buckets. Corroboration:
     // a pair must share >= minSpanHits fingerprints — a single shared
     // 24-gram window is a phrase coincidence, true near-dup docs share
     // dozens (measured: cuts span candidates ~20x at 160k pages).
-    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "span", None,
+    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "span", pairFilter,
       BucketJoin.Drop, countHits = true)
     Result(r.pairs.filter(col("hits") >= cfg.minSpanHits).drop("hits")
       .withColumn("stage", lit("span")), r.oversizeLog)
@@ -77,11 +99,12 @@ object CandidateGen {
    */
   def all(sigs: DataFrame, cfg: GraftConfig,
       useMinhash: Boolean = true, useSimhash: Boolean = true,
-      useSpans: Boolean = true): Result = {
+      useSpans: Boolean = true,
+      extra: Seq[String] = Nil, pairFilter: Option[PairFilter] = None): Result = {
     val stages = Seq(
-      if (useMinhash) Some(minhashStage(sigs, cfg)) else None,
-      if (useSimhash) Some(simhashStage(sigs, cfg)) else None,
-      if (useSpans) Some(spanStage(sigs, cfg)) else None).flatten
+      if (useMinhash) Some(minhashStage(sigs, cfg, extra, pairFilter)) else None,
+      if (useSimhash) Some(simhashStage(sigs, cfg, extra, pairFilter)) else None,
+      if (useSpans) Some(spanStage(sigs, cfg, extra, pairFilter)) else None).flatten
     require(stages.nonEmpty, "at least one blocking stage must be enabled")
     val cands = stages.map(_.candidates).reduce(_ union _)
       .groupBy("id1", "id2").agg(min("stage").as("stage"))

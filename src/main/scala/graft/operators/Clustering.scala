@@ -37,14 +37,19 @@ object Clustering {
         val w = Window.orderBy("component")
         comp.withColumn("cluster", dense_rank().over(w).cast("long") - 1)
           .select(col("id"), col("cluster"))
+          // the dense_rank plan is consumed twice below (maxCluster + union):
+          // checkpoint it once instead of executing the window twice
+          .localCheckpoint()
       } else comp.withColumnRenamed("component", "cluster")
-
-    val maxCluster = paired.agg(coalesce(max("cluster"), lit(-1L))).head().getLong(0)
 
     // singletons: ids with no component (SET2, utils.py:230)
     val singles = ids.join(comp, Seq("id"), "left_anti")
     val singleAssign =
       if (normalizeIds) {
+        // maxCluster is only needed on this branch — the scale path
+        // (normalizeIds = false) never pays the aggregation job
+        val maxCluster =
+          paired.agg(coalesce(max("cluster"), lit(-1L))).head().getLong(0)
         val w = Window.orderBy("id")
         singles.withColumn("cluster",
           row_number().over(w).cast("long") + lit(maxCluster))

@@ -66,10 +66,9 @@ object JaccardVerify {
       estimate: Boolean = false): DataFrame = {
     val t = cfg.simThreshold
     val minhashSide = sigs.select(col("id"), col("minhash").as("s"))
-    val bcast = sigs.isStreaming match {
-      case true => false
-      case false => sigs.count() <= broadcastMaxDocs
-    }
+    // short-circuit: with the default knob (0 = off) never run the count job
+    val bcast = broadcastMaxDocs > 0 && !sigs.isStreaming &&
+      sigs.count() <= broadcastMaxDocs
 
     val estimated = scorePairs(candidates.select("id1", "id2", "stage"),
       minhashSide, SimilarityExpressions.minhashAgreement, "est", bcast)

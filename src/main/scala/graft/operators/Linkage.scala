@@ -26,12 +26,21 @@ object Linkage {
   def linkagePairs(records: DataFrame, cfg: GraftConfig, leftSource: String,
       idCol: String = "id", textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
-    val sigs = Signatures.compute(records, cfg, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = CandidateGen.all(sigs, cfg).candidates
-    val verified = JaccardVerify.verify(cands, sigs, cfg)
     val src = records.select(col(idCol).cast("long").as("id"),
       col(sourceCol).as("source"))
+    val sigs = Signatures.compute(records, cfg, idCol, textCol)
+      .join(src, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // source-disjointness evaluated INSIDE the bucket join (pairFilter hook):
+    // intra-source collisions — ~half of all pairs on balanced sources —
+    // never reach the pair exchange or the verify stage. Star pairs from
+    // oversize buckets bypass the filter, so the post-verify source filter
+    // below stays as the correctness guarantee.
+    val crossSource: CandidateGen.PairFilter = (a, b) =>
+      col(s"$a.source") =!= col(s"$b.source")
+    val cands = CandidateGen.all(sigs, cfg,
+      extra = Seq("source"), pairFilter = Some(crossSource)).candidates
+    val verified = JaccardVerify.verify(cands, sigs, cfg)
     verified
       .join(src.select(col("id").as("id1"), col("source").as("src1")), "id1")
       .join(src.select(col("id").as("id2"), col("source").as("src2")), "id2")

@@ -19,22 +19,52 @@ import org.apache.spark.sql.functions._
 object Splits {
 
   /**
-   * assignments(id, cluster) → (id, cluster, split) with split ∈
-   * {train, valid, test} in the given proportions per stratum.
+   * assignments(id, cluster) → (id, cluster, split), truly STRATIFIED like
+   * the reference: within each stratum (singleton clusters vs plural
+   * clusters, utils.py:92-117) clusters are ranked by a seeded hash — a
+   * deterministic pseudo-random permutation — and the first trainPct% go to
+   * train, the next validPct% to valid, the rest to test. Proportions are
+   * exact per stratum (±1 cluster), not just in expectation.
+   *
+   * Scale note: the per-stratum ranking is a window over one row per
+   * CLUSTER (2 strata) — at 10^11 clusters use hashSplit below, which is
+   * shuffle-free and proportional in expectation only.
    */
   def stratifiedSplit(assignments: DataFrame, trainPct: Int, validPct: Int,
       seed: Long): DataFrame = {
     require(trainPct + validPct <= 100)
     val sizes = assignments.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
-    val bucketed = sizes.withColumn("bucket",
-      pmod(xxhash64(col("cluster"), lit(seed)), lit(100)))
-    val labeled = bucketed.withColumn("split",
-      when(col("bucket") < trainPct, "train")
-        .when(col("bucket") < trainPct + validPct, "valid")
-        .otherwise("test"))
+    val strata = sizes.withColumn("stratum",
+      when(col("cluster_size") === 1, "singleton").otherwise("plural"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(xxhash64(col("cluster"), lit(seed)), col("cluster"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("stratum")
+    val labeled = strata
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("split",
+        when(col("rk") * 100 <= col("n") * trainPct, "train")
+          .when(col("rk") * 100 <= col("n") * (trainPct + validPct), "valid")
+          .otherwise("test"))
       .select(col("cluster"), col("split"))
     assignments.join(labeled, "cluster")
       .select(col("id"), col("cluster"), col("split"))
+  }
+
+  /**
+   * Shuffle-free cluster-level split for web scale: seeded hash bucket per
+   * cluster, proportional in expectation (law of large numbers makes the
+   * error negligible at 10^9+ clusters). No aggregation, no window — the
+   * label is a pure projection over the assignment row.
+   */
+  def hashSplit(assignments: DataFrame, trainPct: Int, validPct: Int,
+      seed: Long): DataFrame = {
+    require(trainPct + validPct <= 100)
+    val bucket = pmod(xxhash64(col("cluster"), lit(seed)), lit(100))
+    assignments.select(col("id"), col("cluster"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid")
+        .otherwise("test").as("split"))
   }
 
   /** Keep records whose cluster landed in `split` (SP2, utils.py:161-176). */

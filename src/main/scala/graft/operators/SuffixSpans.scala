@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
  * set-based Jaccard dilutes away on long documents.
  *
  * Distributed shape: winnowing fingerprints (TextSignatures.winnow) guarantee
- * any common substring of length >= winnowWindow + spanGramLen - 1 ==
- * minSpanLen shares a selected fingerprint, so docs are exploded by
+ * any common substring of length >= winnowWindow + spanGramLen - 1
+ * (<= minSpanLen, enforced by GraftConfig) shares a selected fingerprint,
+ * so docs are exploded by
  * fingerprint, co-shuffled into fingerprint groups (each group small — the
  * fingerprint is 64-bit content-derived), and a per-group suffix array
  * (prefix-doubling + Kasai, graft.functions.SuffixArrays) recovers exact
@@ -88,8 +89,14 @@ object SuffixSpans {
           .iterator.map(p => SpanRow(p.id1, p.id2, p.spanLen))
       }
 
-    grouped.toDF()
+    // eager: materialize the (small) span-pair result, then release the
+    // cached normalized-docs blocks — persisting `d` across calls would
+    // leak storage memory within a session (advisor finding)
+    val out = grouped.toDF()
       .groupBy("id1", "id2")
       .agg(max("span_len").as("span_len"))
+      .localCheckpoint()
+    d.unpersist()
+    out
   }
 }

@@ -68,11 +68,24 @@ class OperatorsSpec extends SparkSuite {
     }.toDF("vec_id", "embedding")
     val exact = Ann.bruteForceTopK(emb, 5).select("id", "neighbor").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Ann.lshTopK(emb, 5, nPlanes = 8, nTables = 8).select("id", "neighbor")
+    val approx = Ann.lshTopK(emb, 5, nPlanes = 6, nTables = 16).select("id", "neighbor")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(s"ann recall@5 = $recall")
-    assert(recall >= 0.7, s"LSH ANN recall too low: $recall")
+    assert(recall >= 0.95, s"LSH ANN recall too low: $recall")
+  }
+
+  test("Ann.lshTopK mega-bucket is capped (star degradation, no O(n²) blowup)") {
+    // every vector identical → every table's bucket holds all n vectors;
+    // with cap < n the candidate set must degrade to star pairs (O(n) rows),
+    // never the O(n²) all-pairs the uncapped join would emit
+    val emb = (0L until 100L).map(i => (i, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val got = Ann.lshTopK(emb, 3, nPlanes = 4, nTables = 2, bucketCap = 10)
+    val n = got.count()
+    // star pairs around the hub: hub has n-1 neighbors but keeps top-k;
+    // members each see the hub only → total rows ≈ (n-1) + k, far below n²
+    assert(n <= 200, s"capped LSH emitted $n rows — cap not applied")
+    assert(n >= 99, s"star degradation lost connectivity: $n rows")
   }
 
   test("TextAnalysis.profile: token counts, ratios, langId") {
@@ -104,7 +117,9 @@ class OperatorsSpec extends SparkSuite {
   }
 
   test("Splits: cluster-level, stratified, disjoint, deterministic") {
-    val assign = (0L until 1000L).map(i => (i, i / 3)).toDF("id", "cluster")
+    // 200 plural clusters (3 members) + 400 singletons — both strata present
+    val assign = ((0L until 600L).map(i => (i, i / 3)) ++
+      (600L until 1000L).map(i => (i, i + 10000L))).toDF("id", "cluster")
     val s1 = Splits.stratifiedSplit(assign, 60, 20, seed = 42L)
     val s2 = Splits.stratifiedSplit(assign, 60, 20, seed = 42L)
     assert(s1.collect().toSet == s2.collect().toSet, "deterministic")
@@ -113,10 +128,22 @@ class OperatorsSpec extends SparkSuite {
     val straddle = s1.groupBy("cluster").agg(countDistinct("split").as("n"))
       .filter($"n" > 1).count()
     assert(straddle == 0)
-    val counts = s1.groupBy("split").count().collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
-    info(s"split sizes: $counts")
-    assert(counts("train") > counts("valid"))
+    // truly stratified: EXACT 60/20/20 cluster proportions inside each
+    // stratum (singleton clusters vs plural), the reference's contract
+    // (utils.py:92-117) — not just proportional in expectation
+    val strata = s1.groupBy("cluster", "split").count()
+      .withColumn("stratum", when($"cluster" >= 10000L, "singleton").otherwise("plural"))
+      .groupBy("stratum", "split").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(strata(("singleton", "train")) == 240 && strata(("singleton", "valid")) == 80
+      && strata(("singleton", "test")) == 80, s"singleton stratum off: $strata")
+    assert(strata(("plural", "train")) == 120 && strata(("plural", "valid")) == 40
+      && strata(("plural", "test")) == 40, s"plural stratum off: $strata")
+    // shuffle-free variant keeps the same invariants (approximate proportions)
+    val h = Splits.hashSplit(assign, 60, 20, seed = 42L)
+    assert(Splits.splitsDisjoint(h))
+    assert(h.groupBy("cluster").agg(countDistinct("split").as("n"))
+      .filter($"n" > 1).count() == 0)
   }
 
   test("PairAlgebra golden fixture: cluster → 19-pair expansion (reference test_utils.py:192-222)") {
