@@ -28,14 +28,25 @@ object SparkEntry {
   private def labelClusters(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id").as("id"), col("label").cast("long").as("cluster"))
 
-  /** Session-scoped corpus cache: several queries share the same generated
-    * page table; cache it once instead of regenerating per query. */
+  /** Fixed aux dir: the synthetic corpus and per-query result mirrors are
+    * materialized here so the driver's DuckDB oracle can read THE SAME BYTES
+    * the Spark queries consumed (read_parquet over these paths in oracleSql). */
+  val auxDir = "/root/repo/target/verify_aux"
+
+  /** Session-scoped corpus cache: the corpus is generated deterministically
+    * once per (session, n), written to parquet under auxDir (DuckDB oracle
+    * input), and every consumer — Spark queries and the oracle alike — reads
+    * it back from that parquet. */
   private val corpusCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), (DataFrame, DataFrame)]()
   private def corpus(s: SparkSession, n: Int = 2000): (DataFrame, DataFrame) =
     corpusCache.computeIfAbsent((s, n), { _ =>
       val (pages, truth) = PageCorpus.generate(s, n, cfg.seed)
-      (pages.toDF().cache(), truth.toDF().cache())
+      val pDir = s"$auxDir/corpus_pages_$n"
+      val tDir = s"$auxDir/corpus_truth_$n"
+      pages.toDF().write.mode("overwrite").parquet(pDir)
+      truth.toDF().coalesce(1).write.mode("overwrite").parquet(tDir)
+      (s.read.parquet(pDir).cache(), s.read.parquet(tDir).cache())
     })
 
   /**
@@ -73,7 +84,9 @@ object SparkEntry {
       val (pages, _) = corpus(s)
       val tagged = pages.withColumn("source",
         when(pmod(col("id"), lit(2)) === 0, "left").otherwise("right"))
-      Linkage.linkagePairs(tagged, cfg, "left").orderBy("left_id", "right_id")
+      Linkage.linkagePairs(tagged, cfg, "left")
+        .select(col("left_id"), col("right_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("left_id", "right_id")
     }),
     "q_threshold_sweep" -> ((s, _) => {
       import s.implicits._
@@ -82,20 +95,35 @@ object SparkEntry {
       val cands = CandidateGen.all(sigs, cfg).candidates
       val scored = JaccardVerify.verify(cands, sigs,
         cfg.copy(simThreshold = 0.0)) // score all candidates, sweep filters
+      // materialize the scored intermediate so the DuckDB oracle can
+      // recompute the sweep metrics from the exact same pair scores
+      scored.select("id1", "id2", "jaccard")
+        .write.mode("overwrite").parquet(s"$auxDir/scored_pairs")
+      val scoredPq = s.read.parquet(s"$auxDir/scored_pairs")
       val pos = PairAlgebra.clusterToPairs(truth.select("id", "cluster"))
-      s.createDataset(Metrics.sweep(scored, pos, pages.count(), Seq(0.3, 0.5, 0.7)))
+      s.createDataset(Metrics.sweep(scoredPq, pos, pages.count(), Seq(0.3, 0.5, 0.7)))
         .toDF()
     }),
     "q_multimodal_features" -> ((s, _) => {
+      // oracle-comparable scalar columns only (md5 is replicable in DuckDB;
+      // the StubCodec checksum/features stay covered by the sbt spec)
       val (pages, _) = corpus(s)
-      Multimodal.extractFeatures(Multimodal.mediaFromPages(pages)).orderBy("media_id")
+      val feats = Multimodal.extractFeatures(Multimodal.mediaFromPages(pages))
+      val sums = pages.select(col("id").as("media_id"), md5(col("html")).as("payload_md5"))
+      feats.join(sums, "media_id")
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("payload_md5"))
+        .orderBy("media_id")
     }),
     "q_ann_lsh_top3" -> ((s, dir) =>
       Ann.lshTopK(emb(s, dir), 3, seed = cfg.seed).orderBy("id", "rank")),
 
     // ===== SQL-expressible operators (DuckDB oracle) =====
     "q_cluster_members" -> ((s, dir) =>
-      Clustering.clusterMembers(labelClusters(s, dir))),
+      // members emitted as a canonical comma-joined string: the driver's
+      // pandas-based comparator cannot sort array-typed columns
+      Clustering.clusterMembers(labelClusters(s, dir))
+        .select(col("cluster"),
+          array_join(transform(col("members"), _.cast("string")), ",").as("members"))),
     "q_cluster_pairs" -> ((s, dir) =>
       PairAlgebra.clusterToPairs(labelClusters(s, dir))),
     "q_cluster_pair_count" -> ((s, dir) =>
@@ -160,14 +188,217 @@ object SparkEntry {
     "q_pair_cap" -> ((s, dir) => {
       val scored = Dedup.tokenJaccardPairs(docs(s, dir), 0.02, ngram = 3)
       PairFeatures.capPairsPerRecord(scored, 2).orderBy("id1", "id2")
+    }),
+    "q_multifield_pairs" -> ((s, dir) => {
+      // multi-field ER (reference's core shape): derived title/body fields
+      // with a 2:1 weighted per-field-Jaccard score; configs exercised
+      // through the JSON parser (S4). Threshold 0.5 sits in the probed
+      // empty margin [0.312, 0.879] at sf0.01.
+      val nt = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val recs = docs(s, dir).select(col("doc_id").as("id"),
+        nt.substr(lit(1), lit(48)).as("title"),
+        nt.substr(lit(49), length(nt)).as("body"))
+      val specs = MultiField.parseConfigs(
+        """{"title": {"sig_type": "syntactic", "weight": 2.0},
+           "body": {"sig_type": "syntactic", "weight": 1.0}}""")
+      MultiField.dedupPairs(recs, specs, 0.5).orderBy("id1", "id2")
     })
   )
 
-  /** DuckDB-equivalent SQL per query (driver correctness gate). */
+  /** DuckDB-equivalent SQL per query (driver correctness gate).
+    *
+    * Two oracle families:
+    *  - TWO-SIDED: the SQL recomputes the full result from base tables
+    *    (documents/embeddings sf views, or the corpus parquet materialized
+    *    under auxDir) — any Spark-side error, missing row or extra row is
+    *    caught.
+    *  - ONE-SIDED (marked below): for LSH/signature operators whose pair
+    *    COVERAGE is probabilistic by design (recall gates live in the sbt
+    *    specs against brute-force oracles), the SQL reads the emitted result
+    *    (mirrored by Verify under auxDir/out), recomputes every checkable
+    *    value column from base tables in DuckDB, and re-emits only rows
+    *    passing all checks — a wrong jaccard/cosine/count/span in ANY row
+    *    makes the row vanish and the compare go red.
+    */
+  private val N = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private def shingleSql(src: String, idc: String): String =
+    s"""SELECT $idc AS sid, list_distinct([substr(nt, i, 5)
+        FOR i IN range(1, len(nt) - 3)]) s
+        FROM (SELECT $idc, $N nt FROM $src) WHERE len(nt) >= 5"""
+
   def oracleSql: Map[String, String] = Map(
     "q_cluster_members" ->
-      """SELECT CAST(label AS BIGINT) AS cluster, list_sort(list(vec_id)) AS members
+      """SELECT CAST(label AS BIGINT) AS cluster,
+           array_to_string(list_sort(list(vec_id)), ',') AS members
          FROM embeddings GROUP BY label""",
+    // ONE-SIDED: every emitted near-dup pair's exact char-5-shingle Jaccard
+    // is recomputed from `documents` and must equal the emitted value
+    "q_minhash_pairs" ->
+      s"""WITH sh AS (${shingleSql("documents", "doc_id")}),
+          r AS (SELECT * FROM read_parquet('$auxDir/out/q_minhash_pairs/*.parquet'))
+          SELECT r.id1, r.id2, r.jaccard FROM r
+          JOIN sh a ON a.sid = r.id1 JOIN sh b ON b.sid = r.id2
+          WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s)), 6) = r.jaccard
+            AND r.jaccard >= ${cfg.simThreshold}
+          ORDER BY 1, 2""",
+    // ONE-SIDED: emitted n_shingles / n_tokens recomputed from `documents`
+    // (simhash itself is pinned by determinism + Hamming specs in sbt)
+    "q_simhash_fingerprints" ->
+      s"""WITH m AS (SELECT doc_id,
+            CASE WHEN len(nt) >= 5 THEN len(list_distinct(
+              [substr(nt, i, 5) FOR i IN range(1, len(nt) - 3)])) ELSE 0 END ns,
+            CASE WHEN len(nt) >= 5 THEN len(string_split(nt, ' ')) ELSE 0 END ntok
+            FROM (SELECT doc_id, $N nt FROM documents)),
+          r AS (SELECT * FROM read_parquet('$auxDir/out/q_simhash_fingerprints/*.parquet'))
+          SELECT r.id, r.simhash, r.n_shingles, r.n_tokens FROM r
+          JOIN m ON m.doc_id = r.id
+          WHERE r.n_shingles = m.ns AND r.n_tokens = m.ntok ORDER BY r.id""",
+    // ONE-SIDED: every emitted cross-source pair is cross-source by parity,
+    // and its exact shingle Jaccard (recomputed from the materialized
+    // corpus) equals the emitted value
+    "q_linkage_pairs" ->
+      s"""WITH sh AS (${shingleSql(s"read_parquet('$auxDir/corpus_pages_2000/*.parquet')", "id")}),
+          r AS (SELECT * FROM read_parquet('$auxDir/out/q_linkage_pairs/*.parquet'))
+          SELECT r.left_id, r.right_id, r.jaccard FROM r
+          JOIN sh a ON a.sid = r.left_id JOIN sh b ON b.sid = r.right_id
+          WHERE r.left_id % 2 = 0 AND r.right_id % 2 = 1
+            AND round(len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s)), 6) = r.jaccard
+            AND r.jaccard >= ${cfg.simThreshold}
+          ORDER BY 1, 2""",
+    // ONE-SIDED: every emitted span must be a true common substring of both
+    // normalized pages with the emitted length (>= minSpanLen)
+    "q_suffix_spans" ->
+      s"""WITH p AS (SELECT id, $N nt
+            FROM read_parquet('$auxDir/corpus_pages_2000/*.parquet')),
+          r AS (SELECT * FROM read_parquet('$auxDir/out/q_suffix_spans/*.parquet'))
+          SELECT r.id1, r.id2, r.span_len, r.span FROM r
+          JOIN p a ON a.id = r.id1 JOIN p b ON b.id = r.id2
+          WHERE len(r.span) = r.span_len AND r.span_len >= ${cfg.minSpanLen}
+            AND contains(a.nt, r.span) AND contains(b.nt, r.span)
+          ORDER BY 1, 2""",
+    // ONE-SIDED: emitted cosine recomputed from `embeddings`; emitted rank
+    // must be consistent with the emitted (cosine, neighbor) ordering
+    "q_ann_lsh_top3" ->
+      s"""WITH r AS (SELECT * FROM read_parquet('$auxDir/out/q_ann_lsh_top3/*.parquet')),
+          chk AS (SELECT r.id, r.neighbor, r.cosine, r.rank,
+            round(list_cosine_similarity(a.embedding::DOUBLE[],
+              b.embedding::DOUBLE[]), 6) c2,
+            row_number() OVER (PARTITION BY r.id
+              ORDER BY r.cosine DESC, r.neighbor ASC) rk2
+            FROM r JOIN embeddings a ON a.vec_id = r.id
+            JOIN embeddings b ON b.vec_id = r.neighbor)
+          SELECT id, neighbor, cosine, rank FROM chk
+          WHERE cosine = c2 AND rank = rk2 AND rank <= 3 ORDER BY id, rank""",
+    // TWO-SIDED: full pipeline vs DuckDB-native prefix-filtered exact
+    // shingle-Jaccard join + recursive-CTE connected components over the
+    // materialized corpus (cluster id = min member id; singletons = own id)
+    // (each stage is materialized as a temp table: DuckDB 1.0 inlines CTEs
+    // per reference and re-evaluates them on every recursion step — the
+    // whole similarity join would otherwise re-run once per CC round)
+    "q_pipeline_clusters" ->
+      s"""CREATE OR REPLACE TEMP TABLE __g_sh AS
+            SELECT id, list_distinct([substr(nt, i, 5)
+              FOR i IN range(1, len(nt) - 3)]) s
+            FROM (SELECT id, $N nt
+              FROM read_parquet('$auxDir/corpus_pages_2000/*.parquet'))
+            WHERE len(nt) >= 5;
+          CREATE OR REPLACE TEMP TABLE __g_tok AS
+            SELECT id, unnest(s) t FROM __g_sh;
+          CREATE OR REPLACE TEMP TABLE __g_pfx AS
+            SELECT id, t, pos, n FROM (
+              SELECT k.id, k.t,
+                row_number() OVER (PARTITION BY k.id ORDER BY dfr.d, k.t) pos,
+                count(*) OVER (PARTITION BY k.id) n
+              FROM __g_tok k
+              JOIN (SELECT t, count(*) d FROM __g_tok GROUP BY t) dfr USING (t))
+            WHERE pos <= n - ceil(${cfg.simThreshold} * n) + 1;
+          CREATE OR REPLACE TEMP TABLE __g_edges AS
+            WITH cand AS (SELECT DISTINCT a.id id1, b.id id2
+              FROM __g_pfx a JOIN __g_pfx b
+              ON a.t = b.t AND a.id < b.id
+              AND least(a.n, b.n) >= ${cfg.simThreshold} * greatest(a.n, b.n)
+              AND least(a.n - a.pos, b.n - b.pos) + 1 >=
+                ceil(${cfg.simThreshold} / ${1 + cfg.simThreshold} * (a.n + b.n))),
+            ic AS (SELECT c.id1, c.id2, count(*) ni FROM cand c
+              JOIN __g_tok a ON a.id = c.id1
+              JOIN __g_tok b ON b.id = c.id2 AND b.t = a.t
+              GROUP BY c.id1, c.id2),
+            e0 AS (SELECT ic.id1, ic.id2 FROM ic
+              JOIN (SELECT id, len(s) n2 FROM __g_sh) x ON x.id = ic.id1
+              JOIN (SELECT id, len(s) n2 FROM __g_sh) y ON y.id = ic.id2
+              WHERE ni::DOUBLE / (x.n2 + y.n2 - ni) >= ${cfg.simThreshold})
+            SELECT id1 u, id2 v FROM e0 UNION SELECT id2, id1 FROM e0;
+          WITH RECURSIVE
+          reach(id, comp) AS (
+            SELECT id, id FROM read_parquet('$auxDir/corpus_pages_2000/*.parquet')
+            UNION
+            SELECT e.v, r.comp FROM reach r JOIN __g_edges e ON e.u = r.id
+            WHERE r.comp < e.v)
+          SELECT id, min(comp) AS cluster FROM reach GROUP BY id ORDER BY id""",
+    // TWO-SIDED given the materialized scored pairs: sweep metrics
+    // recomputed from auxDir/scored_pairs + the corpus truth
+    "q_threshold_sweep" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('$auxDir/scored_pairs/*.parquet')),
+          tr AS (SELECT id, cluster
+            FROM read_parquet('$auxDir/corpus_truth_2000/*.parquet')),
+          pos AS (SELECT a.id id1, b.id id2 FROM tr a
+            JOIN tr b ON a.cluster = b.cluster AND a.id < b.id),
+          th(threshold) AS (SELECT unnest([0.3::DOUBLE, 0.5::DOUBLE, 0.7::DOUBLE])),
+          lab AS (SELECT s.jaccard,
+            CASE WHEN p.id1 IS NULL THEN 0 ELSE 1 END is_tp
+            FROM s LEFT JOIN pos p ON s.id1 = p.id1 AND s.id2 = p.id2),
+          agg AS (SELECT th.threshold,
+            coalesce(sum(CASE WHEN lab.jaccard >= th.threshold THEN 1 ELSE 0 END), 0)::BIGINT found,
+            coalesce(sum(CASE WHEN lab.jaccard >= th.threshold THEN lab.is_tp ELSE 0 END), 0)::BIGINT tp
+            FROM th CROSS JOIN lab GROUP BY th.threshold),
+          c AS (SELECT (SELECT count(*) FROM pos)::BIGINT npos,
+            (SELECT count(*) FROM read_parquet('$auxDir/corpus_truth_2000/*.parquet'))::BIGINT nrec)
+          SELECT threshold, tp AS truePositives, found AS foundPairs,
+            npos AS positivePairs,
+            CASE WHEN tp = 0 THEN 0.0 ELSE tp::DOUBLE / found END AS precision,
+            CASE WHEN npos = 0 THEN 0.0 ELSE tp::DOUBLE / npos END AS recall,
+            CASE WHEN (CASE WHEN tp = 0 THEN 0.0 ELSE tp::DOUBLE / found END)
+                + (CASE WHEN npos = 0 THEN 0.0 ELSE tp::DOUBLE / npos END) = 0.0
+              THEN 0.0
+              ELSE 2 * (CASE WHEN tp = 0 THEN 0.0 ELSE tp::DOUBLE / found END)
+                * (CASE WHEN npos = 0 THEN 0.0 ELSE tp::DOUBLE / npos END)
+                / ((CASE WHEN tp = 0 THEN 0.0 ELSE tp::DOUBLE / found END)
+                  + (CASE WHEN npos = 0 THEN 0.0 ELSE tp::DOUBLE / npos END)) END AS f1,
+            CASE WHEN nrec = 0 THEN 0.0 ELSE found::DOUBLE / nrec END AS pairEntityRatio
+          FROM agg, c ORDER BY threshold""",
+    // TWO-SIDED: brute-force weighted multi-field score over derived
+    // title/body fields (the Spark side is the exact SetSimJoin union, so
+    // full result-set equality is expected)
+    "q_multifield_pairs" ->
+      """WITH nd AS (SELECT doc_id,
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')) nt FROM documents),
+          f AS (SELECT doc_id, trim(substr(nt, 1, 48)) title,
+            trim(substr(nt, 49)) body FROM nd),
+          g AS (SELECT doc_id,
+            CASE WHEN len(title) >= 5 THEN list_distinct(
+              [substr(title, i, 5) FOR i IN range(1, len(title) - 3)])
+              ELSE []::VARCHAR[] END gt,
+            CASE WHEN len(body) >= 5 THEN list_distinct(
+              [substr(body, i, 5) FOR i IN range(1, len(body) - 3)])
+              ELSE []::VARCHAR[] END gb FROM f)
+          SELECT id1, id2, score FROM (
+            SELECT a.doc_id id1, b.doc_id id2,
+              round((coalesce(len(list_intersect(a.gt, b.gt))::DOUBLE
+                  / nullif(len(list_distinct(a.gt || b.gt)), 0), 0.0) * 2.0
+                + coalesce(len(list_intersect(a.gb, b.gb))::DOUBLE
+                  / nullif(len(list_distinct(a.gb || b.gb)), 0), 0.0) * 1.0)
+                / 3.0, 6) score
+            FROM g a JOIN g b ON a.doc_id < b.doc_id)
+          WHERE score >= 0.5 ORDER BY 1, 2""",
+    // TWO-SIDED: scalar media features recomputed from the corpus html blob
+    "q_multimodal_features" ->
+      s"""SELECT id AS media_id, 'html' AS kind,
+            octet_length(html)::BIGINT AS n_bytes,
+            md5(decode(html)) AS payload_md5
+          FROM read_parquet('$auxDir/corpus_pages_2000/*.parquet')
+          ORDER BY media_id""",
     "q_cluster_pairs" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2 FROM embeddings a
          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id""",

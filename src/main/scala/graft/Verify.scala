@@ -18,12 +18,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // One-sided oracles (see SparkEntry.oracleSql) read the emitted results
+    // back via DuckDB: mirror each result dir under the fixed aux path.
+    val mirrorBase = Paths.get(s"${SparkEntry.auxDir}/out")
+    def mirror(name: String): Unit = {
+      val src = Paths.get(s"$outDir/$name")
+      val dst = mirrorBase.resolve(name)
+      if (Files.exists(dst)) {
+        Files.walk(dst).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.createDirectories(dst)
+      Files.walk(src).forEach { p =>
+        val rel = src.relativize(p)
+        val t = dst.resolve(rel.toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        mirror(name)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

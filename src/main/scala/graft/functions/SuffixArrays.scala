@@ -55,14 +55,50 @@ object SuffixArrays {
     out
   }
 
-  final case class SpanPair(id1: Long, id2: Long, spanLen: Int)
+  final case class SpanPair(id1: Long, id2: Long, spanLen: Int, span: String)
+
+  /** Sparse-table range-minimum over an int array: O(n log n) build,
+    * O(1) query — used for exact per-pair LCP intervals. */
+  private final class Rmq(a: Array[Int]) {
+    private val n = a.length
+    private val log: Array[Int] = {
+      val l = new Array[Int](math.max(n + 1, 2))
+      var i = 2
+      while (i <= n) { l(i) = l(i >> 1) + 1; i += 1 }
+      l
+    }
+    private val k = if (n == 0) 1 else log(n) + 1
+    private val st = Array.ofDim[Int](k, math.max(n, 1))
+    if (n > 0) {
+      System.arraycopy(a, 0, st(0), 0, n)
+      var j = 1
+      while (j < k) {
+        var i = 0
+        while (i + (1 << j) <= n) {
+          st(j)(i) = math.min(st(j - 1)(i), st(j - 1)(i + (1 << (j - 1))))
+          i += 1
+        }
+        j += 1
+      }
+    }
+    /** min over a(lo..hi) inclusive; lo <= hi required. */
+    def min(lo: Int, hi: Int): Int = {
+      val j = log(hi - lo + 1)
+      math.min(st(j)(lo), st(j)(hi - (1 << j) + 1))
+    }
+  }
 
   /**
    * Duplicate spans across documents: concatenate docs with per-doc unique
-   * sentinels (negative ints, impossible in text), build SA + LCP, and scan
-   * for maximal runs of SA-adjacent suffixes with LCP >= minLen. Every pair
-   * of distinct docs inside a run shares an exact substring of at least the
-   * run's minimum LCP. Emits each doc pair once with the longest such span.
+   * sentinels (negative ints, impossible in text), build SA + LCP, scan for
+   * maximal runs of SA-adjacent suffixes with LCP >= minLen, and inside each
+   * run compute the EXACT per-pair span: for docs A and B, the longest
+   * common substring is max over SA positions (i of A, j of B) of
+   * min(lcp(i+1..j)) — evaluated with a sparse-table RMQ and a last-seen
+   * index per doc (O(runLen × distinctDocs) per run), not the run minimum
+   * (which under-reports when a run extends with weaker suffixes). Emits
+   * each doc pair once with its longest span's length AND content (the
+   * content makes results externally checkable by substring containment).
    */
   def dupSpans(docs: Seq[(Long, String)], minLen: Int,
       maxPairsPerGroup: Int = 100000): Seq[SpanPair] = {
@@ -85,42 +121,41 @@ object SuffixArrays {
     }
     val sa = build(s)
     val lcps = lcp(s, sa)
+    val rmq = new Rmq(lcps)
     val ids = docs.map(_._1).toArray
-    val best = scala.collection.mutable.HashMap.empty[(Long, Long), Int]
+    // best span per doc pair: length + start offset in the concatenated text
+    val best = scala.collection.mutable.HashMap.empty[(Long, Long), (Int, Int)]
+    val lastSeen = scala.collection.mutable.HashMap.empty[Int, Int]
     var i = 1
     while (i < sa.length) {
       if (lcps(i) >= minLen) {
-        // run of suffixes sharing >= minLen prefix: [runStart-1 .. runEnd]
-        val runStart = i
-        var runMin = lcps(i)
-        val members = scala.collection.mutable.LinkedHashSet(docOf(sa(i - 1)))
+        // run of suffixes sharing >= minLen prefixes: SA rows [i-1 .. runEnd]
+        lastSeen.clear()
+        lastSeen(docOf(sa(i - 1))) = i - 1
         while (i < sa.length && lcps(i) >= minLen) {
-          runMin = math.min(runMin, lcps(i))
-          members += docOf(sa(i))
+          val di = docOf(sa(i))
+          if (best.size < maxPairsPerGroup) {
+            lastSeen.foreachEntry { (dj, j) =>
+              if (dj != di) {
+                // exact pair span = min lcp over the pair's own SA interval
+                val len = rmq.min(j + 1, i)
+                val k = if (ids(di) < ids(dj)) (ids(di), ids(dj))
+                  else (ids(dj), ids(di))
+                if (k._1 != k._2 && len > best.getOrElse(k, (0, 0))._1)
+                  best(k) = (len, sa(i))
+              }
+            }
+          }
+          lastSeen(di) = i
           i += 1
         }
-        if (members.size > 1 && best.size < maxPairsPerGroup) {
-          val ms = members.toArray
-          var a = 0
-          while (a < ms.length) {
-            var b = a + 1
-            while (b < ms.length) {
-              val k =
-                if (ids(ms(a)) < ids(ms(b))) (ids(ms(a)), ids(ms(b)))
-                else (ids(ms(b)), ids(ms(a)))
-              if (k._1 != k._2) {
-                val cur = best.getOrElse(k, 0)
-                if (runMin > cur) best(k) = runMin
-              }
-              b += 1
-            }
-            a += 1
-          }
-        }
-        val _ = runStart // run bounds kept for future span-offset emission
       } else i += 1
     }
-    best.iterator.map { case ((a, b), l) => SpanPair(a, b, l) }.toSeq
-      .sortBy(p => (p.id1, p.id2))
+    best.iterator.map { case ((a, b), (len, start)) =>
+      val chars = new Array[Char](len)
+      var j = 0
+      while (j < len) { chars(j) = (s(start + j) - 1).toChar; j += 1 }
+      SpanPair(a, b, len, new String(chars))
+    }.toSeq.sortBy(p => (p.id1, p.id2))
   }
 }

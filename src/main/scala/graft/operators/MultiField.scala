@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multi-field record support — the reference's core ER shape: a record has
+ * several text fields, each with its own signature config, blocking keys are
+ * OR-unioned across fields, and the final pair score is a config-weighted
+ * combination of per-field similarities.
+ *
+ * Reference mapping:
+ *  - field config dict + validation: field_config_parser.py:29-150 (S4/P1);
+ *    `source` below = the reference's `key` remap (n configs over one
+ *    source column);
+ *  - OR-blocking union across fields: record pooling, models.py:177-198 (P12);
+ *  - weighted pair score: the attention-weighted record pool analog —
+ *    deterministic config weights instead of learned attention;
+ *  - "empty must not match empty" (models.py:253-256): an empty field scores
+ *    0 against anything, while its weight stays in the denominator.
+ *
+ * EXACT by construction: weighted-average >= t implies max per-field
+ * Jaccard >= t, so the union of per-field prefix-filter joins (SetSimJoin)
+ * at threshold t is a COMPLETE candidate set — no LSH recall caveat. All
+ * shuffles are equi-joins; scales like SetSimJoin.
+ */
+object MultiField {
+
+  /** One field's signature config. `source` is the input column (defaults to
+    * the field name — override to define several configs over one column). */
+  final case class FieldSpec(
+      field: String,
+      source: String,
+      sigType: String, // "syntactic" (char shingles) | "semantic" (word tokens)
+      weight: Double,
+      shingleK: Int = 5)
+
+  val sigTypes: Set[String] = Set("syntactic", "semantic")
+
+  /**
+   * Parse + validate a field-config JSON object (reference
+   * field_config_parser.py error semantics):
+   * {"title": {"sig_type": "syntactic", "weight": 2.0},
+   *  "title_tokens": {"source": "title", "sig_type": "semantic"}}
+   */
+  def parseConfigs(json: String): Seq[FieldSpec] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(json) match {
+      case JObject(fields) => fields
+      case _ => throw new IllegalArgumentException(
+        "field config must be a JSON object of field -> config")
+    }
+    if (parsed.isEmpty)
+      throw new IllegalArgumentException("field config dict is empty")
+    val specs = parsed.map {
+      case (field, JObject(cfg)) =>
+        val m = cfg.toMap
+        if (m.isEmpty) throw new IllegalArgumentException(
+          s"""Please set the value of "$field" in the field config dict""")
+        val sigType = m.get("sig_type") match {
+          case Some(JString(s)) => s
+          case None => "syntactic"
+          case Some(other) => throw new IllegalArgumentException(
+            s"""field "$field": sig_type must be a string, got $other""")
+        }
+        if (!sigTypes.contains(sigType)) throw new IllegalArgumentException(
+          s"""field "$field": unknown sig_type "$sigType" (available: ${sigTypes.mkString(", ")})""")
+        val weight = m.get("weight") match {
+          case Some(JDouble(w)) => w
+          case Some(JInt(w)) => w.toDouble
+          case None => 1.0
+          case Some(other) => throw new IllegalArgumentException(
+            s"""field "$field": weight must be a number, got $other""")
+        }
+        if (weight <= 0) throw new IllegalArgumentException(
+          s"""field "$field": weight must be > 0, got $weight""")
+        val source = m.get("source") match {
+          case Some(JString(s)) => s
+          case None => field
+          case Some(other) => throw new IllegalArgumentException(
+            s"""field "$field": source must be a string, got $other""")
+        }
+        val k = m.get("shingle_k") match {
+          case Some(JInt(v)) => v.toInt
+          case None => 5
+          case Some(other) => throw new IllegalArgumentException(
+            s"""field "$field": shingle_k must be an int, got $other""")
+        }
+        if (k < 1) throw new IllegalArgumentException(
+          s"""field "$field": shingle_k must be >= 1, got $k""")
+        FieldSpec(field, source, sigType, weight, k)
+      case (field, JNull) => throw new IllegalArgumentException(
+        s"""Please set the value of "$field" in the field config dict""")
+      case (field, other) => throw new IllegalArgumentException(
+        s"""field "$field": config must be an object, got $other""")
+    }
+    val dup = specs.groupBy(_.field).collectFirst { case (f, ss) if ss.size > 1 => f }
+    dup.foreach(f => throw new IllegalArgumentException(s"""duplicate field "$f""""))
+    specs
+  }
+
+  /** Distinct token-set column for one field: char k-shingles (syntactic)
+    * or whitespace word tokens (semantic) of the normalized text — all
+    * built-ins, stays in whole-stage codegen. */
+  private[operators] def gramCol(src: Column, spec: FieldSpec): Column = {
+    val nt = trim(regexp_replace(lower(src), "\\s+", " "))
+    spec.sigType match {
+      case "semantic" =>
+        when(length(nt) > 0, array_distinct(split(nt, " ")))
+          .otherwise(array().cast("array<string>"))
+      case _ =>
+        val k = spec.shingleK
+        when(length(nt) >= k,
+          array_distinct(transform(
+            sequence(lit(1), length(nt) - (k - 1)), i => nt.substr(i, lit(k)))))
+          .otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /**
+   * records(idCol, <source columns>...) → (id1, id2, score) with
+   * score = Σ_f w_f · jaccard_f / Σ_f w_f >= threshold, rounded to 6.
+   * A missing/empty field contributes 0 to the numerator but its weight
+   * stays in the denominator (reference empty-field zeroing).
+   */
+  def dedupPairs(records: DataFrame, specs: Seq[FieldSpec], threshold: Double,
+      idCol: String = "id"): DataFrame = {
+    require(specs.nonEmpty, "at least one field spec required")
+    val totalW = specs.map(_.weight).sum
+
+    val fieldGrams = specs.map { sp =>
+      records.select(col(idCol).as("id"), gramCol(col(sp.source), sp).as("g"))
+    }
+
+    // complete candidates: weighted avg >= t ⇒ some field's jaccard >= t
+    val cands = fieldGrams
+      .map(d => SetSimJoin.jaccardSelfJoin(d, threshold).select("id1", "id2"))
+      .reduce(_ union _)
+      .distinct()
+
+    // weighted rescore: per-field contribution rows, summed per pair
+    val contrib = specs.zip(fieldGrams).map { case (sp, d) =>
+      cands
+        .join(d.select(col("id").as("id1"), col("g").as("g1")), Seq("id1"), "left")
+        .join(d.select(col("id").as("id2"), col("g").as("g2")), Seq("id2"), "left")
+        .select(col("id1"), col("id2"),
+          // try_divide: an empty-vs-empty field is 0/0 → null → 0 (the
+          // reference's empty-field zeroing; ANSI mode would error on /0)
+          (coalesce(
+            try_divide(
+              size(array_intersect(col("g1"), col("g2"))).cast("double"),
+              size(array_union(col("g1"), col("g2")))),
+            lit(0.0)) * sp.weight).as("wj"))
+    }.reduce(_ unionByName _)
+
+    contrib.groupBy("id1", "id2")
+      .agg(round(sum(col("wj")) / totalW, 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+}

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
  */
 object SuffixSpans {
 
-  final case class SpanRow(id1: Long, id2: Long, span_len: Int)
+  final case class SpanRow(id1: Long, id2: Long, span_len: Int, span: String)
 
   /**
    * docs(id, text) → (id1, id2, span_len) for every pair sharing an exact
@@ -86,15 +86,19 @@ object SuffixSpans {
       .flatMapGroups { (_, it) =>
         val members = it.map(t => (t._2, t._3)).toArray.sortBy(_._1).distinct
         SuffixArrays.dupSpans(members.toSeq, cfg.minSpanLen)
-          .iterator.map(p => SpanRow(p.id1, p.id2, p.spanLen))
+          .iterator.map(p => SpanRow(p.id1, p.id2, p.spanLen, p.span))
       }
 
     // eager: materialize the (small) span-pair result, then release the
     // cached normalized-docs blocks — persisting `d` across calls would
-    // leak storage memory within a session (advisor finding)
+    // leak storage memory within a session (advisor finding).
+    // max over (span_len, span) struct: keeps the longest span's content,
+    // deterministic tie-break on the span string itself.
     val out = grouped.toDF()
       .groupBy("id1", "id2")
-      .agg(max("span_len").as("span_len"))
+      .agg(max(struct(col("span_len"), col("span"))).as("m"))
+      .select(col("id1"), col("id2"),
+        col("m.span_len").as("span_len"), col("m.span").as("span"))
       .localCheckpoint()
     d.unpersist()
     out

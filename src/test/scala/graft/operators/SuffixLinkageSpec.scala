@@ -29,6 +29,33 @@ class SuffixLinkageSpec extends SparkSuite {
     assert(spans.map(p => (p.id1, p.id2)) == Seq((1L, 2L)))
     // found span must be at least the shared string (with surrounding spaces)
     assert(spans.head.spanLen >= shared.length)
+    // emitted span content is a true common substring of the right length
+    assert(spans.head.span.length == spans.head.spanLen)
+    assert(docs(0)._2.contains(spans.head.span) && docs(1)._2.contains(spans.head.span))
+  }
+
+  test("dupSpans: long-span pair inside a weak run reports its TRUE length (RMQ, not run-min)") {
+    // A and B share a 62-char span; C shares only its first 26 chars, so
+    // C's suffix joins the same LCP run and drags the run minimum down to
+    // ~26 — the exact per-pair interval min must still credit (A,B) with
+    // the full span.
+    val long = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789abcdefghijklmnopqrstuvwxyz"
+    assert(long.length == 62)
+    val weak = long.substring(0, 26)
+    val docs = Seq(
+      (1L, s"xx $long yy"),
+      (2L, s"qq $long rr"),
+      (3L, s"mm $weak nn"))
+    val spans = SuffixArrays.dupSpans(docs, minLen = 20)
+    val byPair = spans.map(p => ((p.id1, p.id2), p.spanLen)).toMap
+    assert(byPair((1L, 2L)) >= long.length,
+      s"pair (1,2) got ${byPair((1L, 2L))}, want >= ${long.length} — run-min bug")
+    assert(byPair((1L, 3L)) >= weak.length && byPair((1L, 3L)) < long.length)
+    assert(byPair((2L, 3L)) >= weak.length && byPair((2L, 3L)) < long.length)
+    spans.foreach { p =>
+      val t = docs.toMap
+      assert(t(p.id1).contains(p.span) && t(p.id2).contains(p.span))
+    }
   }
 
   test("SuffixSpans operator finds cross-doc boilerplate spans, exact lengths") {
