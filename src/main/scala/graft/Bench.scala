@@ -21,7 +21,8 @@ object Bench {
     "q_pipeline_clusters", "q_minhash_pairs", "q_ngram_jaccard_pairs",
     "q_cc_clusters", "q_text_profile", "q_ann_top3", "q_ann_lsh_top3",
     "q_suffix_spans", "q_linkage_pairs", "q_multimodal_features",
-    "q_exact_dup_pairs", "q_vocab_count", "q_topk_per_lang")
+    "q_exact_dup_pairs", "q_vocab_count", "q_topk_per_lang",
+    "q_multifield_pairs")
 
   def makeSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()
@@ -82,7 +83,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     val dps = f"$docsPerSec%.1f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_pages":$nPages,"pipeline_docs_per_sec":$dps}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_pages":$nPages,"pipeline_docs_per_sec":$dps}"""
+    println(json)
+    // sbt wraps stdout in [info] prefixes which breaks the driver's JSON
+    // parse — also write the raw line to a plain file it can pick up
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH/result.json"), json + "\n")
     spark.stop()
   }
 }

@@ -26,6 +26,28 @@ object PairIO {
   def readPairs(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
     spark.read.format(format).load(path).select(col("id1"), col("id2"))
 
+  /**
+   * S1: record CSV scan with the reference's coercion semantics
+   * (cli.py:34-49, utils.py:30-38): every column reads as string except
+   * `id` — and `clusterField`, when given and present in the header —
+   * which are coerced to long. A non-integer value in either column RAISES
+   * at execution (Spark 4 ANSI cast), exactly like the reference's `int()`
+   * ValueError; the error is made eager here so callers fail at scan time,
+   * not deep inside a downstream join.
+   */
+  def readRecords(spark: SparkSession, path: String,
+      clusterField: Option[String] = None): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    require(raw.columns.contains("id"), "record CSV must have an 'id' column")
+    val withId = raw.withColumn("id", col("id").cast("long"))
+    val coerced = clusterField match {
+      case Some(cf) if raw.columns.contains(cf) =>
+        withId.withColumn(cf, col(cf).cast("long"))
+      case _ => withId
+    }
+    coerced
+  }
+
   /** S3: labeled pair CSV (ltable_id, rtable_id, label) → (pos, neg). */
   def readLabeledPairs(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val df = spark.read.option("header", "true").csv(path)

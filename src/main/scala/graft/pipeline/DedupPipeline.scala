@@ -30,17 +30,27 @@ final class DedupPipeline(
     cfg: GraftConfig = GraftConfig.default,
     checkpointDir: Option[String] = None,
     estimateJaccard: Boolean = false,
-    normalizeClusterIds: Boolean = false) {
+    normalizeClusterIds: Boolean = false,
+    hostSalts: Int = 8) {
 
   import DedupPipeline._
 
   /** pages(id, text, ...) → (id, cluster) for every input page. */
   def run(pages: DataFrame): Result = {
+    // ingest salting (north rule "salted repartitioning for skewed hosts"):
+    // a crawl partitioned by host makes the per-partition signature
+    // projection wait on the hottest host's partition; the salted exchange
+    // flattens the histogram. Purely physical — results are unchanged
+    // (everything downstream re-shuffles on its own keys).
+    val input =
+      if (hostSalts > 1 && pages.columns.contains("url"))
+        Salting.saltPagesByHost(pages, hostSalts)
+      else pages
     // signatures feed 3 blocking stages + 2 verify joins → persisted;
     // candidates/verified each have a single consumer → no persist (the
     // CC loop localCheckpoints its edge set on entry anyway)
     val sigs = stage("signatures", persist = true) {
-      Signatures.compute(pages, cfg)
+      Signatures.compute(input, cfg)
     }
     val candStage = stage("candidates") {
       val r = CandidateGen.all(sigs, cfg)

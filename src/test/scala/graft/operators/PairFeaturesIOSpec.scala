@@ -66,4 +66,45 @@ class PairFeaturesIOSpec extends SparkSuite {
       Seq((2L, "y")).toDF("id", "text"), "amazon", "google")
     assert(u.groupBy("source").count().count() == 2)
   }
+
+  test("S1 record CSV scan: id/cluster int coercion + non-int raises (cli.py:34-49)") {
+    val dir = Files.createTempDirectory("graft-s1").toString
+
+    val ok = s"$dir/records.csv"
+    Files.writeString(java.nio.file.Paths.get(ok),
+      "id,title,cluster\n3,alpha,10\n1,beta,10\n2,gamma,11\n")
+    val recs = PairIO.readRecords(spark, ok, clusterField = Some("cluster"))
+    assert(recs.schema("id").dataType.typeName == "long")
+    assert(recs.schema("cluster").dataType.typeName == "long")
+    assert(recs.schema("title").dataType.typeName == "string")
+    assert(recs.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+
+    // cluster field absent from header: no coercion, no error (reference
+    // only coerces "if cluster_field in record")
+    val noCluster = s"$dir/nocluster.csv"
+    Files.writeString(java.nio.file.Paths.get(noCluster), "id,title\n1,x\n")
+    assert(PairIO.readRecords(spark, noCluster, Some("cluster")).count() == 1)
+
+    // non-int id raises, like the reference's int() ValueError
+    val badId = s"$dir/badid.csv"
+    Files.writeString(java.nio.file.Paths.get(badId), "id,title\n1,x\nSEVEN,y\n")
+    intercept[Exception] {
+      PairIO.readRecords(spark, badId).collect()
+    }
+
+    // non-int cluster raises (utils.py:33-38)
+    val badCl = s"$dir/badcluster.csv"
+    Files.writeString(java.nio.file.Paths.get(badCl),
+      "id,title,cluster\n1,x,10\n2,y,none\n")
+    intercept[Exception] {
+      PairIO.readRecords(spark, badCl, Some("cluster")).collect()
+    }
+
+    // missing id column rejected up front
+    val noId = s"$dir/noid.csv"
+    Files.writeString(java.nio.file.Paths.get(noId), "title\nx\n")
+    intercept[IllegalArgumentException] {
+      PairIO.readRecords(spark, noId)
+    }
+  }
 }
