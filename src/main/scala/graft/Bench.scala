@@ -30,6 +30,10 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // single-node bench: the per-doc signature/gram tables are tens of MB
+      // — let AQE pick broadcast joins for them instead of shuffling array
+      // payloads per candidate pair (cluster deployments tune their own)
+      .config("spark.sql.autoBroadcastJoinThreshold", "128m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -183,25 +183,28 @@ object SparkEntry {
       Dedup.embeddingCosinePairs(emb(s, dir), 0.4).orderBy("id1", "id2")),
     "q_pair_features" -> ((s, dir) => {
       val pairs = Dedup.tokenJaccardPairs(docs(s, dir), ngramThreshold, ngram = 3)
-      PairFeatures.enrich(pairs, docs(s, dir), "doc_id", "text").orderBy("id1", "id2")
+        .persist()
+      val base = PairFeatures.enrich(pairs, docs(s, dir), "doc_id", "text")
+      val tfidf = PairFeatures.tfidfCosine(pairs, docs(s, dir), "doc_id", "text")
+      base.join(tfidf, Seq("id1", "id2")).orderBy("id1", "id2")
     }),
     "q_pair_cap" -> ((s, dir) => {
       val scored = Dedup.tokenJaccardPairs(docs(s, dir), 0.02, ngram = 3)
       PairFeatures.capPairsPerRecord(scored, 2).orderBy("id1", "id2")
     }),
     "q_multifield_pairs" -> ((s, dir) => {
-      // multi-field ER (reference's core shape): derived title/body fields
-      // with a 2:1 weighted per-field-Jaccard score; configs exercised
-      // through the JSON parser (S4). Threshold 0.5 sits in the probed
-      // empty margin [0.312, 0.879] at sf0.01.
+      // multi-field ER (reference's core shape): derived title/body fields,
+      // char-shingle title (fuzzy) + word-token body, 2:1 weighted score;
+      // configs exercised through the JSON parser (S4). Threshold 0.6 sits
+      // in the probed empty margin [0.516, 0.917] at sf0.01.
       val nt = trim(regexp_replace(lower(col("text")), "\\s+", " "))
       val recs = docs(s, dir).select(col("doc_id").as("id"),
         nt.substr(lit(1), lit(48)).as("title"),
         nt.substr(lit(49), length(nt)).as("body"))
       val specs = MultiField.parseConfigs(
         """{"title": {"sig_type": "syntactic", "weight": 2.0},
-           "body": {"sig_type": "syntactic", "weight": 1.0}}""")
-      MultiField.dedupPairs(recs, specs, 0.5).orderBy("id1", "id2")
+           "body": {"sig_type": "semantic", "weight": 1.0}}""")
+      MultiField.dedupPairs(recs, specs, 0.6).orderBy("id1", "id2")
     })
   )
 
@@ -380,8 +383,7 @@ object SparkEntry {
             CASE WHEN len(title) >= 5 THEN list_distinct(
               [substr(title, i, 5) FOR i IN range(1, len(title) - 3)])
               ELSE []::VARCHAR[] END gt,
-            CASE WHEN len(body) >= 5 THEN list_distinct(
-              [substr(body, i, 5) FOR i IN range(1, len(body) - 3)])
+            CASE WHEN len(body) > 0 THEN list_distinct(string_split(body, ' '))
               ELSE []::VARCHAR[] END gb FROM f)
           SELECT id1, id2, score FROM (
             SELECT a.doc_id id1, b.doc_id id2,
@@ -391,7 +393,7 @@ object SparkEntry {
                   / nullif(len(list_distinct(a.gb || b.gb)), 0), 0.0) * 1.0)
                 / 3.0, 6) score
             FROM g a JOIN g b ON a.doc_id < b.doc_id)
-          WHERE score >= 0.5 ORDER BY 1, 2""",
+          WHERE score >= 0.6 ORDER BY 1, 2""",
     // TWO-SIDED: scalar media features recomputed from the corpus html blob
     "q_multimodal_features" ->
       s"""SELECT id AS media_id, 'html' AS kind,
@@ -568,15 +570,35 @@ object SparkEntry {
               a.text t1, b.text t2, a.tok tok1, b.tok tok2
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.g, b.g))::DOUBLE
-              / len(list_distinct(a.g || b.g)) >= $ngramThreshold)
-          SELECT id1, id2,
+              / len(list_distinct(a.g || b.g)) >= $ngramThreshold),
+          tc AS (SELECT doc_id, tok2 tok, count(*) tf FROM (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                '[\\p{L}\\p{Nd}]+|[^\\p{L}\\p{Nd}\\s]+')) tok2 FROM documents)
+            GROUP BY 1, 2),
+          dfr AS (SELECT tok, count(*) df FROM tc GROUP BY tok),
+          n AS (SELECT count(*)::DOUBLE nn FROM documents),
+          w AS (SELECT tc.doc_id, tc.tok,
+              tc.tf * (ln((n.nn + 1.0) / (dfr.df + 1.0)) + 1.0) w
+            FROM tc JOIN dfr USING (tok) CROSS JOIN n),
+          nrm AS (SELECT doc_id, sqrt(sum(w * w)) norm FROM w GROUP BY doc_id),
+          dots AS (SELECT p.id1, p.id2, sum(a.w * b.w) dot FROM p
+            JOIN w a ON a.doc_id = p.id1 JOIN w b ON b.doc_id = p.id2
+              AND b.tok = a.tok
+            GROUP BY p.id1, p.id2)
+          SELECT p.id1, p.id2,
             round(len(list_intersect(tok1, tok2))::DOUBLE
               / greatest(len(list_distinct(tok1 || tok2)), 1), 6) AS token_jaccard,
             round(len(list_intersect(tok1, tok2))::DOUBLE
               / greatest(least(len(tok1), len(tok2)), 1), 6) AS overlap_coef,
             round(1.0 - levenshtein(t1, t2)::DOUBLE
-              / greatest(len(t1), len(t2), 1), 6) AS levenshtein_sim
-          FROM p ORDER BY 1, 2""",
+              / greatest(len(t1), len(t2), 1), 6) AS levenshtein_sim,
+            round(1.0 - damerau_levenshtein(t1, t2)::DOUBLE
+              / greatest(len(t1), len(t2), 1), 6) AS damerau_levenshtein_sim,
+            round(coalesce(dots.dot, 0.0) / (na.norm * nb.norm), 6) AS tfidf_cosine
+          FROM p
+          LEFT JOIN dots ON dots.id1 = p.id1 AND dots.id2 = p.id2
+          JOIN nrm na ON na.doc_id = p.id1 JOIN nrm nb ON nb.doc_id = p.id2
+          ORDER BY 1, 2""",
     "q_pair_cap" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk
             FROM documents),

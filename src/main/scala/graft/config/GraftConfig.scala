@@ -52,6 +52,9 @@ final case class GraftConfig(
     // degrade to star pairs (logged to metrics — no silent drops). Bounds
     // worst-case per-bucket emission at C(256,2) ~= 33k pairs; a genuine
     // near-dup mega-bucket stays fully connected through its star hub.
+    // --- tokenizer (the signature kernel's injection point; mirrors the
+    //     reference's pluggable tokenizer, field_config_parser.py:23-26) ---
+    tokenizer: String = "whitespace",
     // --- determinism ---
     seed: Long = 42L) {
   require(numPerm == bands * rowsPerBand, "numPerm must equal bands*rowsPerBand")

@@ -127,25 +127,22 @@ object TextSignatures {
       bnd += 1
     }
 
-    // --- SimHash over word tokens (split on the spaces normalize produced) ---
+    // --- SimHash over word tokens. The tokenizer is the kernel's injection
+    //     point (reference's pluggable tokenizer, field_config_parser.py:
+    //     23-26): cfg.tokenizer names a registered span tokenizer; the
+    //     default "whitespace" reproduces the normalize-split exactly. ---
     val votes = new Array[Int](64)
     var nTokens = 0
-    var start = 0
-    i = 0
-    while (i <= cs.length) {
-      if (i == cs.length || cs(i) == ' ') {
-        if (i > start) {
-          val th = hashChars(cs, start, i)
-          var bit = 0
-          while (bit < 64) {
-            if (((th >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
-            bit += 1
-          }
-          nTokens += 1
-        }
-        start = i + 1
+    val spans = Tokenize.kernel(cfg.tokenizer)(cs)
+    while (spans.hasNext) {
+      val (start, end) = spans.next()
+      val th = hashChars(cs, start, end)
+      var bit = 0
+      while (bit < 64) {
+        if (((th >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
       }
-      i += 1
+      nTokens += 1
     }
     var simhash = 0L
     var bit = 0

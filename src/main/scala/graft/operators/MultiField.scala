@@ -103,7 +103,7 @@ object MultiField {
   /** Distinct token-set column for one field: char k-shingles (syntactic)
     * or whitespace word tokens (semantic) of the normalized text — all
     * built-ins, stays in whole-stage codegen. */
-  private[operators] def gramCol(src: Column, spec: FieldSpec): Column = {
+  def gramCol(src: Column, spec: FieldSpec): Column = {
     val nt = trim(regexp_replace(lower(src), "\\s+", " "))
     spec.sigType match {
       case "semantic" =>

@@ -38,7 +38,49 @@ object PairFeatures {
           .as("overlap_coef"),
         round(lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double") /
           greatest(length(col("t1")), length(col("t2")), lit(1)), 6)
-          .as("levenshtein_sim"))
+          .as("levenshtein_sim"),
+        round(lit(1.0) - dlUdf(col("t1"), col("t2")).cast("double") /
+          greatest(length(col("t1")), length(col("t2")), lit(1)), 6)
+          .as("damerau_levenshtein_sim"))
+  }
+
+  /** Unrestricted Damerau–Levenshtein (graft.functions.EditDistance). A
+    * Scala UDF is acceptable here: it runs once per VERIFIED pair (cold
+    * path), never inside blocking/verification. */
+  private val dlUdf = udf((a: String, b: String) =>
+    graft.functions.EditDistance.damerauLevenshtein(a, b))
+
+  /**
+   * J5 extension — corpus-weighted token similarity per pair: tf-idf cosine.
+   * Relational formulation (no vectors materialized per pair): token
+   * weights w(id,t) = tf · (ln((N+1)/(df+1)) + 1); per-pair dot product via
+   * an equi-join on token restricted to the candidate pairs; norms from one
+   * aggregation. Every shuffle is keyed (token or id) — scales like the
+   * verify stage.
+   */
+  def tfidfCosine(pairs: DataFrame, docs: DataFrame,
+      idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val d = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val n = d.count()
+    val toks = d.select(col("id"), explode(Tokenize.default(col("t"))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = toks.join(dfreq, "tok")
+      .select(col("id"), col("tok"),
+        (col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0)).as("w"))
+    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val dots = pairs.select("id1", "id2")
+      .join(w.select(col("id").as("id1"), col("tok"), col("w").as("w1")), "id1")
+      .join(w.select(col("id").as("id2"), col("tok"), col("w").as("w2")),
+        Seq("id2", "tok"))
+      .groupBy("id1", "id2").agg(sum(col("w1") * col("w2")).as("dot"))
+    pairs.select("id1", "id2")
+      .join(dots, Seq("id1", "id2"), "left")
+      .join(norms.select(col("id").as("id1"), col("norm").as("n1")), "id1")
+      .join(norms.select(col("id").as("id2"), col("norm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(coalesce(col("dot"), lit(0.0)) / (col("n1") * col("n2")), 6)
+          .as("tfidf_cosine"))
   }
 
   /**

@@ -40,13 +40,20 @@ object SetSimJoin {
    */
   def jaccardSelfJoin(d0: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "0 < threshold <= 1")
-    val d = d0.select(col("id"), col("g"))
+    // Tokens ride as 64-bit hashes end to end (the engine-wide convention):
+    // distinct/intersection counts over the hashes equal the counts over
+    // the strings modulo 64-bit collisions, the shuffle payload is 8
+    // bytes/token instead of a string, and verification runs in the
+    // codegen'd merge kernel (jaccard_sorted) instead of building a hash
+    // set per pair.
+    val d = d0.select(col("id"),
+      array_sort(array_distinct(transform(col("g"), t => xxhash64(t)))).as("h"))
 
-    // 1 shuffle: global token order key = (document frequency, token).
+    // 1 shuffle: global token order key = (document frequency, token hash).
     // Rarest-first prefixes minimize join fan-out: a token with df=k
     // contributes at most C(k,2) candidate rows, and low-df tokens
-    // dominate the prefixes.
-    val toks = d.select(col("id"), explode(col("g")).as("tok"))
+    // dominate the prefixes. Any total order preserves completeness.
+    val toks = d.select(col("id"), explode(col("h")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
 
     // per-id token list sorted by the global order, + set size
@@ -74,14 +81,13 @@ object SetSimJoin {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
 
-    // exact verify — identical arithmetic to the brute-force form, so the
-    // result is byte-identical to the O(n²) oracle
+    // exact verify: same |∩|/|∪| integers as the brute-force string form
+    // (modulo 64-bit hash collisions), so the rounded value is identical
     cands
-      .join(d.select(col("id").as("id1"), col("g").as("g1")), "id1")
-      .join(d.select(col("id").as("id2"), col("g").as("g2")), "id2")
+      .join(d.select(col("id").as("id1"), col("h").as("h1")), "id1")
+      .join(d.select(col("id").as("id2"), col("h").as("h2")), "id2")
       .withColumn("jaccard",
-        size(array_intersect(col("g1"), col("g2"))).cast("double") /
-          size(array_union(col("g1"), col("g2"))))
+        graft.expressions.SimilarityExpressions.jaccardSorted(col("h1"), col("h2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }

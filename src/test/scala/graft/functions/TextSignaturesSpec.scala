@@ -82,4 +82,28 @@ class TextSignaturesSpec extends AnyFunSuite {
       assert(Hashing.mulMod61(a, b) == expected, s"a=$a b=$b")
     }
   }
+
+  test("kernel tokenizers: whitespace spans == historical split; alnum splits punctuation") {
+    def toks(name: String, s: String): Seq[String] = {
+      val cs = TextSignatures.normalize(s)
+      Tokenize.kernel(name)(cs).map { case (a, b) => new String(cs, a, b - a) }.toSeq
+    }
+    assert(toks("whitespace", "  Hello   WORLD x ") == Seq("hello", "world", "x"))
+    assert(toks("whitespace", "") == Seq.empty)
+    assert(toks("alnum", "foo-bar v2.1!") == Seq("foo", "-", "bar", "v2", ".", "1", "!"))
+    intercept[IllegalArgumentException](Tokenize.kernel("neural"))
+  }
+
+  test("tokenizer choice changes simhash tokens but whitespace default is unchanged") {
+    val cfg = GraftConfig.default
+    val text = "alpha-beta gamma, delta!"
+    val ws = TextSignatures.compute(text, cfg)
+    val al = TextSignatures.compute(text, cfg.copy(tokenizer = "alnum"))
+    assert(ws.nTokens == 3) // "alpha-beta", "gamma,", "delta!"
+    assert(al.nTokens == 7) // alpha,-,beta,gamma,",",delta,!
+    // shingle/minhash signatures are tokenizer-independent
+    assert(ws.minhash.toSeq == al.minhash.toSeq)
+    assert(ws.shingles.toSeq == al.shingles.toSeq)
+    assert(ws.simhash != al.simhash)
+  }
 }
