@@ -30,10 +30,11 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // single-node bench: the per-doc signature/gram tables are tens of MB
-      // — let AQE pick broadcast joins for them instead of shuffling array
-      // payloads per candidate pair (cluster deployments tune their own)
-      .config("spark.sql.autoBroadcastJoinThreshold", "128m")
+      // NOTE: autoBroadcastJoinThreshold stays at the 10m default. A 128m
+      // experiment backfired: Catalyst under-estimates array-column
+      // projections, tried to broadcast a ~1.2 GB signature side at 120k
+      // pages and died on driver.maxResultSize. The verify joins win their
+      // speed from the hashed-array merge kernel, not from broadcasting.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

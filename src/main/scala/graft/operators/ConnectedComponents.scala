@@ -56,12 +56,15 @@ object ConnectedComponents {
     // ~16 tiny shuffle stages, and with the session's full partition count
     // the per-task scheduling overhead dominates wall time on all but the
     // largest graphs (measured: 42s -> ~4s on a 256-edge set at 32
-    // partitions). ~2M edge rows per partition, capped at the session's
-    // configured width so big graphs keep full parallelism.
+    // partitions). ~250k edge rows per partition — small enough that a
+    // medium graph still uses every core (a 2M-edges-per-partition first
+    // cut serialized the loop at bench scale and cost 2x in the N->4N
+    // scaling measurement), capped at the session's configured width so
+    // big graphs keep full parallelism.
     val spark = e.sparkSession
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(1L, math.min(sessionParts.toLong,
-      e.count() / 2000000L + 1)).toInt
+      e.count() / 250000L + 1)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
 
     var lastFp: (Long, String, String) = (-1L, "", "")

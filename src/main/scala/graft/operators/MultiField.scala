@@ -158,4 +158,54 @@ object MultiField {
       .agg(round(sum(col("wj")) / totalW, 6).as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /**
+   * 100 TB mode — LSH-blocked multi-field candidates: each field computes
+   * its own MinHash band keys (graft.functions.TextSignatures at the shared
+   * config), bucket spaces made disjoint per field by mixing the field
+   * index into the key, all memberships unioned into ONE skew-capped bucket
+   * join (the reference's OR-blocking record pool, models.py:177-198).
+   * Candidate coverage is probabilistic (the LSH S-curve per field); pairs
+   * are then weighted-rescored exactly like dedupPairs. Use when the exact
+   * prefix-filter join's candidate volume is too high — blocking cost here
+   * is independent of the similarity threshold.
+   */
+  def lshCandidates(records: DataFrame, specs: Seq[FieldSpec],
+      cfg: graft.config.GraftConfig, idCol: String = "id"): CandidateGen.Result = {
+    require(specs.nonEmpty, "at least one field spec required")
+    val memberships = specs.zipWithIndex.map { case (sp, i) =>
+      val sigs = Signatures.compute(
+        records.select(col(idCol).as("id"), col(sp.source).as("text")), cfg)
+      sigs.select(col("id"),
+        // field-mixed bucket: field i's bucket space never collides with
+        // field j's (same trick as band-index mixing inside the kernel)
+        explode(transform(col("band_keys"),
+          k => xxhash64(lit(i), k))).as("bucket"))
+    }.reduce(_ unionByName _)
+    val r = BucketJoin.pairs(memberships, cfg.maxBandBucket, "multifield_lsh")
+    CandidateGen.Result(
+      r.pairs.withColumn("stage", lit("multifield_lsh")), r.oversizeLog)
+  }
+
+  /** Weighted rescore of an externally-supplied candidate set (the verify
+    * half of dedupPairs, shared by the exact and LSH paths). */
+  def rescore(cands: DataFrame, records: DataFrame, specs: Seq[FieldSpec],
+      threshold: Double, idCol: String = "id"): DataFrame = {
+    val totalW = specs.map(_.weight).sum
+    val contrib = specs.map { sp =>
+      val d = records.select(col(idCol).as("id"), gramCol(col(sp.source), sp).as("g"))
+      cands.select("id1", "id2")
+        .join(d.select(col("id").as("id1"), col("g").as("g1")), Seq("id1"), "left")
+        .join(d.select(col("id").as("id2"), col("g").as("g2")), Seq("id2"), "left")
+        .select(col("id1"), col("id2"),
+          (coalesce(
+            try_divide(
+              size(array_intersect(col("g1"), col("g2"))).cast("double"),
+              size(array_union(col("g1"), col("g2")))),
+            lit(0.0)) * sp.weight).as("wj"))
+    }.reduce(_ unionByName _)
+    contrib.groupBy("id1", "id2")
+      .agg(round(sum(col("wj")) / totalW, 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
 }

@@ -110,6 +110,28 @@ class MultiFieldSpec extends SparkSuite {
     assert(s > 0.5 && s < 1.0)
   }
 
+  test("LSH multi-field path: candidates cover the exact result (recall gate)") {
+    val d = corpus(100).cache()
+    val cfg = graft.config.GraftConfig.default
+    val exact = MultiField.dedupPairs(d, specs, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val cands = MultiField.lshCandidates(d, specs, cfg)
+    val rescored = MultiField.rescore(cands.candidates, d, specs, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // LSH coverage is probabilistic; at these sizes the planted near-dups
+    // (high per-field jaccard, deep in the S-curve) must all be caught
+    val got = rescored.map(p => (p._1, p._2))
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    info(s"multifield LSH recall = $recall (${got.size} found, ${exact.size} exact)")
+    assert(recall >= 0.95, s"LSH multifield recall $recall")
+    // rescore is exact, so no false positives vs the exact scorer
+    val exactScores = MultiField.dedupPairs(d, specs, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rescored.subsetOf(exactScores), "rescored pair outside exact result set")
+    d.unpersist()
+  }
+
   test("plan: no cartesian product in the multi-field join") {
     val d = corpus(30)
     val plan = MultiField.dedupPairs(d, specs, 0.5)
