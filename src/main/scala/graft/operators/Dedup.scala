@@ -44,13 +44,22 @@ object Dedup {
    */
   def tokenJaccardPairs(docs: DataFrame, threshold: Double, ngram: Int = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // n-gram identity = hash of the n consecutive TOKEN HASHES, not of the
+    // joined string: set counts are unchanged (modulo 64-bit collisions, the
+    // engine-wide convention), and the projection is O(tokens) — the
+    // string-concat form (slice + concat_ws per position) copied O(tokens²)
+    // chars per document and was the hottest expression in the whole join.
     val toks = split(lower(trim(col(textCol))), "\\s+")
+    val th = docs.select(col(idCol).as("id"),
+      transform(toks, t => xxhash64(t)).as("th"))
     val grams =
-      if (ngram == 1) array_distinct(toks)
-      else array_distinct(transform(
-        slice(toks, lit(1), greatest(size(toks) - (ngram - 1), lit(0))),
-        (_, i) => concat_ws(" ", slice(toks, i + 1, lit(ngram)))))
-    val d = docs.select(col(idCol).as("id"), grams.as("g"))
+      if (ngram == 1) array_distinct(col("th"))
+      else when(size(col("th")) >= ngram,
+        array_distinct(transform(
+          sequence(lit(1), size(col("th")) - (ngram - 1)),
+          i => xxhash64((0 until ngram).map(j => element_at(col("th"), i + j)): _*))))
+        .otherwise(array().cast("array<long>"))
+    val d = th.select(col("id"), grams.as("g"))
     SetSimJoin.jaccardSelfJoin(d, threshold)
   }
 

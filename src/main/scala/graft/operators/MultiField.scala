@@ -102,19 +102,24 @@ object MultiField {
 
   /** Distinct token-set column for one field: char k-shingles (syntactic)
     * or whitespace word tokens (semantic) of the normalized text — all
-    * built-ins, stays in whole-stage codegen. */
+    * built-ins, stays in whole-stage codegen. Tokens are emitted as 64-bit
+    * hashes (the engine-wide convention): set counts equal the string-set
+    * counts modulo collisions, and every downstream join/intersect moves
+    * 8 bytes per token instead of a string. */
   def gramCol(src: Column, spec: FieldSpec): Column = {
     val nt = trim(regexp_replace(lower(src), "\\s+", " "))
     spec.sigType match {
       case "semantic" =>
-        when(length(nt) > 0, array_distinct(split(nt, " ")))
-          .otherwise(array().cast("array<string>"))
+        when(length(nt) > 0,
+          array_distinct(transform(split(nt, " "), t => xxhash64(t))))
+          .otherwise(array().cast("array<long>"))
       case _ =>
         val k = spec.shingleK
         when(length(nt) >= k,
           array_distinct(transform(
-            sequence(lit(1), length(nt) - (k - 1)), i => nt.substr(i, lit(k)))))
-          .otherwise(array().cast("array<string>"))
+            sequence(lit(1), length(nt) - (k - 1)),
+            i => xxhash64(nt.substr(i, lit(k))))))
+          .otherwise(array().cast("array<long>"))
     }
   }
 
@@ -129,8 +134,11 @@ object MultiField {
     require(specs.nonEmpty, "at least one field spec required")
     val totalW = specs.map(_.weight).sum
 
+    // persisted per field: each gram table feeds its SetSimJoin AND two
+    // sides of the rescore join — 3 consumers of a scan + gram projection
     val fieldGrams = specs.map { sp =>
       records.select(col(idCol).as("id"), gramCol(col(sp.source), sp).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
     // complete candidates: weighted avg >= t ⇒ some field's jaccard >= t
@@ -138,6 +146,7 @@ object MultiField {
       .map(d => SetSimJoin.jaccardSelfJoin(d, threshold).select("id1", "id2"))
       .reduce(_ union _)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // weighted rescore: per-field contribution rows, summed per pair
     val contrib = specs.zip(fieldGrams).map { case (sp, d) =>

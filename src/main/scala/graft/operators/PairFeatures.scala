@@ -46,9 +46,12 @@ object PairFeatures {
 
   /** Unrestricted Damerau–Levenshtein (graft.functions.EditDistance). A
     * Scala UDF is acceptable here: it runs once per VERIFIED pair (cold
-    * path), never inside blocking/verification. */
+    * path), never inside blocking/verification. NULL on either side yields
+    * NULL — matching the adjacent built-in levenshtein column and DuckDB's
+    * damerau_levenshtein NULL semantics. */
   private val dlUdf = udf((a: String, b: String) =>
-    graft.functions.EditDistance.damerauLevenshtein(a, b))
+    if (a == null || b == null) None
+    else Some(graft.functions.EditDistance.damerauLevenshtein(a, b)))
 
   /**
    * J5 extension — corpus-weighted token similarity per pair: tf-idf cosine.
@@ -59,9 +62,12 @@ object PairFeatures {
    * verify stage.
    */
   def tfidfCosine(pairs: DataFrame, docs: DataFrame,
-      idCol: String = "id", textCol: String = "text"): DataFrame = {
+      idCol: String = "id", textCol: String = "text",
+      docCount: Option[Long] = None): DataFrame = {
     val d = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-    val n = d.count()
+    // idf needs the corpus size; callers that already know it (a pipeline
+    // that counted at ingest) pass it and skip this count job
+    val n = docCount.getOrElse(d.count())
     val toks = d.select(col("id"), explode(Tokenize.default(col("t"))).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -74,13 +80,17 @@ object PairFeatures {
       .join(w.select(col("id").as("id2"), col("tok"), col("w").as("w2")),
         Seq("id2", "tok"))
       .groupBy("id1", "id2").agg(sum(col("w1") * col("w2")).as("dot"))
+    // norms joined LEFT: a doc with zero tokens has no norm row, and the
+    // contract is one score per input pair — token-less docs score 0.0
+    // (try_divide: 0-norm → null → 0) instead of silently dropping the pair
     pairs.select("id1", "id2")
       .join(dots, Seq("id1", "id2"), "left")
-      .join(norms.select(col("id").as("id1"), col("norm").as("n1")), "id1")
-      .join(norms.select(col("id").as("id2"), col("norm").as("n2")), "id2")
+      .join(norms.select(col("id").as("id1"), col("norm").as("n1")), Seq("id1"), "left")
+      .join(norms.select(col("id").as("id2"), col("norm").as("n2")), Seq("id2"), "left")
       .select(col("id1"), col("id2"),
-        round(coalesce(col("dot"), lit(0.0)) / (col("n1") * col("n2")), 6)
-          .as("tfidf_cosine"))
+        round(coalesce(
+          try_divide(coalesce(col("dot"), lit(0.0)), col("n1") * col("n2")),
+          lit(0.0)), 6).as("tfidf_cosine"))
   }
 
   /**

@@ -45,9 +45,22 @@ object SetSimJoin {
     // the strings modulo 64-bit collisions, the shuffle payload is 8
     // bytes/token instead of a string, and verification runs in the
     // codegen'd merge kernel (jaccard_sorted) instead of building a hash
-    // set per pair.
+    // set per pair. Callers that already hash (array<long> input) skip the
+    // re-hash — the tokenize/gram projection is the hottest part of the
+    // whole join and must not be paid twice.
+    val hashed = d0.schema("g").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => col("g")
+      case _ => transform(col("g"), t => xxhash64(t))
+    }
+    // PERSISTED: the hashed-set table is consumed 4x (df count, per-id
+    // sort, and both sides of the verify join) — without this the upstream
+    // scan + tokenize + gram projection re-executes per consumer, which
+    // measured as ~4x the cost of every join stage combined. At cluster
+    // scale this is the stage checkpoint.
     val d = d0.select(col("id"),
-      array_sort(array_distinct(transform(col("g"), t => xxhash64(t)))).as("h"))
+      array_sort(array_distinct(hashed)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 1 shuffle: global token order key = (document frequency, token hash).
     // Rarest-first prefixes minimize join fan-out: a token with df=k
@@ -62,12 +75,15 @@ object SetSimJoin {
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"),
         count(lit(1)).as("n"))
 
-    // prefix explode: first n − ⌈t·n⌉ + 1 tokens, with 0-based position
+    // prefix explode: first n − ⌈t·n⌉ + 1 tokens, with 0-based position.
+    // Persisted: consumed as BOTH sides of the candidate self-join (exchange
+    // reuse is not guaranteed once the sides are aliased).
     val pfxLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
     val pfx = sorted
       .select(col("id"), col("n"),
         posexplode(slice(col("st"), lit(1), pfxLen)).as(Seq("pos", "s")))
       .select(col("id"), col("n"), col("pos"), col("s.tok").as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate equi-join on prefix token + length & positional filters
     val reqOverlap =
