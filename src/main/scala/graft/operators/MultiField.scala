@@ -129,6 +129,17 @@ object MultiField {
    * A missing/empty field contributes 0 to the numerator but its weight
    * stays in the denominator (reference empty-field zeroing).
    */
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /**
+   * Per-field completeness threshold: a pair with weighted score >= t has
+   * j_f >= (t·W − (W − w_f)) / w_f for EVERY field f (all other fields can
+   * contribute at most their full weight), so when that bound is positive,
+   * field f's prefix join at it is ALONE a complete candidate set.
+   */
+  def fieldThreshold(spec: FieldSpec, totalW: Double, t: Double): Double =
+    (t * totalW - (totalW - spec.weight)) / spec.weight
+
   def dedupPairs(records: DataFrame, specs: Seq[FieldSpec], threshold: Double,
       idCol: String = "id"): DataFrame = {
     require(specs.nonEmpty, "at least one field spec required")
@@ -141,11 +152,47 @@ object MultiField {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-    // complete candidates: weighted avg >= t ⇒ some field's jaccard >= t
-    val cands = fieldGrams
+    // ---- selectivity-aware blocking plan (both plans are provably
+    // complete, so the choice only affects cost, never the result) ----
+    //  union plan: every field joined at t (weighted avg >= t ⇒ max
+    //    per-field jaccard >= t);
+    //  single-field plan: field f alone at fieldThreshold(f) (see above).
+    // An unselective field (templated boilerplate bodies at web scale) can
+    // make its union branch emit orders of magnitude more candidates than
+    // a selective field's single-field plan — the raw-candidate estimate
+    // (one cheap pass per field) picks the cheapest.
+    def unionPlan(): DataFrame = fieldGrams
       .map(d => SetSimJoin.jaccardSelfJoin(d, threshold).select("id1", "id2"))
       .reduce(_ union _)
       .distinct()
+
+    val singles = specs.zip(fieldGrams).flatMap { case (sp, d) =>
+      val tf = fieldThreshold(sp, totalW, threshold)
+      if (tf > 0 && tf <= 1) Some((sp, d, tf)) else None
+    }
+    val planned =
+      if (singles.isEmpty || specs.size == 1) unionPlan()
+      else {
+        val est = SetSimJoin.candidatePairEstimatesMulti(
+          specs.zip(fieldGrams).map { case (sp, d) =>
+            val tfOpt = singles.collectFirst { case (s, _, tf) if s eq sp => tf }
+            (sp.field, d, threshold +: tfOpt.toSeq)
+          })
+        val unionCost = specs.map(sp => est((sp.field, threshold))).sum
+        val (bsp, bd, btf) = singles.minBy { case (sp, _, tf) => est((sp.field, tf)) }
+        val bestCost = est((bsp.field, btf))
+        if (bestCost < unionCost) {
+          log.info(s"multifield plan: single-field '${bsp.field}' at " +
+            f"$btf%.3f (est $bestCost raw candidates vs union $unionCost)")
+          SetSimJoin.jaccardSelfJoin(bd, btf).select("id1", "id2")
+        } else {
+          log.info(s"multifield plan: union of ${specs.size} field joins at " +
+            f"$threshold%.3f (est $unionCost raw candidates; best single " +
+            s"'${bsp.field}' was $bestCost)")
+          unionPlan()
+        }
+      }
+    val cands = planned
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // weighted rescore: per-field contribution rows, summed per pair

@@ -107,4 +107,66 @@ object SetSimJoin {
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /**
+   * Cost estimate for planning (NOT a result bound): the raw prefix-join
+   * output volume Σ_token C(df_prefix(token), 2) at each threshold, in ONE
+   * pass over the data (the per-threshold prefix membership of a token at
+   * 0-based position p in a set of size n is just p <= n - ⌈τ·n⌉, so a
+   * single posexplode serves every τ). Over-counts pairs sharing several
+   * prefix tokens and ignores the length/positional filters — exactly
+   * proportional to the join's dominant cost (raw candidate rows), which
+   * is what a planner needs. Used by MultiField to pick the cheapest
+   * provably-complete blocking plan.
+   */
+  def candidatePairEstimates(d0: DataFrame, thresholds: Seq[Double]): Map[Double, BigInt] =
+    candidatePairEstimatesMulti(Seq(("_", d0, thresholds)))
+      .map { case ((_, t), v) => t -> v }
+
+  /**
+   * Multi-table form: estimates for several (name, table, thresholds)
+   * triples in ONE Spark job — the per-table position rows are tagged and
+   * unioned, so a planner comparing K field plans pays one pass over all
+   * fields instead of K.
+   */
+  def candidatePairEstimatesMulti(
+      tables: Seq[(String, DataFrame, Seq[Double])]): Map[(String, Double), BigInt] = {
+    require(tables.nonEmpty, "at least one table")
+    val allTs = tables.flatMap(_._3).distinct
+    require(allTs.nonEmpty && allTs.forall(t => t > 0 && t <= 1), "0 < thresholds <= 1")
+    val tagged = tables.map { case (name, d0, _) =>
+      val hashed = d0.schema("g").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => col("g")
+        case _ => transform(col("g"), t => xxhash64(t))
+      }
+      val d = d0.select(col("id"), array_distinct(hashed).as("h"))
+      val toks = d.select(col("id"), explode(col("h")).as("tok"))
+      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      toks.join(dfreq, "tok").groupBy("id")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"),
+          count(lit(1)).as("n"))
+        .select(lit(name).as("tbl"), col("n"),
+          posexplode(col("st")).as(Seq("pos", "s")))
+        .select(col("tbl"), col("n"), col("pos"), col("s.tok").as("tok"))
+    }.reduce(_ unionByName _)
+    val cnts = allTs.zipWithIndex.map { case (t, i) =>
+      sum(when(col("pos") <= col("n") - ceil(lit(t) * col("n")), 1L)
+        .otherwise(0L)).as(s"c$i")
+    }
+    val perTok = tagged.groupBy("tbl", "tok").agg(cnts.head, cnts.tail: _*)
+    val sums = allTs.indices.map { i =>
+      sum((col(s"c$i") * (col(s"c$i") - 1) / 2).cast("decimal(38,0)")).as(s"s$i")
+    }
+    val rows = perTok.groupBy("tbl").agg(sums.head, sums.tail: _*).collect()
+    val byTbl = rows.map(r => r.getString(0) ->
+      allTs.indices.map(i => if (r.isNullAt(i + 1)) BigInt(0)
+        else BigInt(r.getDecimal(i + 1).toBigInteger)).toIndexedSeq).toMap
+    tables.flatMap { case (name, _, ts) =>
+      ts.distinct.map { t =>
+        (name, t) -> byTbl.get(name)
+          .map(v => v(allTs.indexOf(t))).getOrElse(BigInt(0))
+      }
+    }.toMap
+  }
 }
