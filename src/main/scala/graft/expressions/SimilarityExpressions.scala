@@ -30,6 +30,15 @@ object SimilarityExpressions {
     ExpressionUtils.column(MinHashAgreement(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Exact k-shingle Jaccard recomputed from the two TEXTS (normalize →
+    * shingle-hash, same kernel as TextSignatures) — bitwise-identical to
+    * jaccardSorted over stored shingle arrays, without ever storing or
+    * shuffling them (a shingle array is ~8 bytes/char of corpus; the text
+    * itself is ~8x smaller). */
+  def textShingleJaccard(a: Column, b: Column, k: Int): Column =
+    ExpressionUtils.column(TextShingleJaccard(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), k))
+
   /** Register SQL names (optional convenience for spark.sql users). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -122,5 +131,123 @@ object MinHashAgreement {
       i += 1
     }
     eq.toDouble / n
+  }
+}
+
+case class TextShingleJaccard(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType && k >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two STRING arguments and k >= 1")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "text_shingle_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextShingleJaccard.compute(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextShingleJaccard.compute($a, $b, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TextShingleJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object TextShingleJaccard {
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.{Hashing, TextSignatures}
+
+  /** Per-thread scratch: two normalize buffers + two shingle sets. Verify
+    * runs once per candidate pair — per-pair allocation here is exactly the
+    * write-bandwidth churn that breaks N→4N scaling (see TextSignatures
+    * Scratch note). */
+  private final class S {
+    var bufA: Array[Char] = new Array[Char](8192)
+    var bufB: Array[Char] = new Array[Char](8192)
+    val setA = new Hashing.ScratchLongSet(4096)
+    val setB = new Hashing.ScratchLongSet(4096)
+  }
+  private val tl: ThreadLocal[S] = ThreadLocal.withInitial(() => new S)
+
+  /** Decode + normalize (identical semantics to TextSignatures.normalize:
+    * lowercase, collapse whitespace runs, trim) into the chosen scratch
+    * buffer; returns normalized length. ASCII fast path decodes bytes in
+    * place; non-ASCII falls back to the String-based kernel (rare for web
+    * text after extraction, still correct). */
+  private def normalizeInto(u: UTF8String, sc: S, slotA: Boolean): Int = {
+    val nb = u.numBytes
+    var buf = if (slotA) sc.bufA else sc.bufB
+    if (buf.length < nb) {
+      buf = new Array[Char](Integer.highestOneBit(math.max(nb, 16) - 1) << 1)
+      if (slotA) sc.bufA = buf else sc.bufB = buf
+    }
+    var ascii = true
+    var i = 0
+    while (i < nb) {
+      if (u.getByte(i) < 0) { ascii = false; i = nb }
+      i += 1
+    }
+    if (ascii) {
+      var j = 0
+      var pendingSpace = false
+      i = 0
+      while (i < nb) {
+        val c = u.getByte(i).toChar
+        if (Character.isWhitespace(c)) {
+          if (j > 0) pendingSpace = true
+        } else {
+          if (pendingSpace) { buf(j) = ' '; j += 1; pendingSpace = false }
+          buf(j) = Character.toLowerCase(c); j += 1
+        }
+        i += 1
+      }
+      j
+    } else {
+      val cs = TextSignatures.normalize(u.toString)
+      if (buf.length < cs.length) {
+        buf = new Array[Char](Integer.highestOneBit(cs.length - 1) << 1)
+        if (slotA) sc.bufA = buf else sc.bufB = buf
+      }
+      System.arraycopy(cs, 0, buf, 0, cs.length)
+      cs.length
+    }
+  }
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(a: UTF8String, b: UTF8String, k: Int): Double = {
+    val sc = tl.get()
+    val la = normalizeInto(a, sc, slotA = true)
+    sc.setA.clear()
+    if (la >= k) {
+      var i = 0
+      val last = la - k
+      while (i <= last) {
+        sc.setA.add(Hashing.hashChars(sc.bufA, i, i + k))
+        i += 1
+      }
+    }
+    val lb = normalizeInto(b, sc, slotA = false)
+    sc.setB.clear()
+    var inter = 0
+    if (lb >= k) {
+      var i = 0
+      val last = lb - k
+      while (i <= last) {
+        val h = Hashing.hashChars(sc.bufB, i, i + k)
+        if (sc.setB.add(h) && sc.setA.contains(h)) inter += 1
+        i += 1
+      }
+    }
+    val na = sc.setA.size
+    val nb = sc.setB.size
+    if (na == 0 && nb == 0) return 0.0 // empty must not match empty (P13)
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 }

@@ -78,58 +78,75 @@ object Hashing {
     r
   }
 
-  /** Open-addressing set of longs (no boxing) for shingle dedup. */
-  final class LongSet(initialCapacity: Int) {
+  /**
+   * Reusable generation-stamped open-addressing long set: `clear()` is O(1)
+   * (bump the generation; stale slots are ignored), so ONE instance per
+   * executor thread serves every document with zero steady-state
+   * allocation. Motivation (profiled): per-document LongSet allocation was
+   * ~2.2 GB per 60k pages, and small-object allocation bandwidth is the
+   * resource that caps N→4N scaling on shared hosts — the signature kernel
+   * must not spend it.
+   */
+  final class ScratchLongSet(initialCapacity: Int) {
     private var cap = Integer.highestOneBit(math.max(16, initialCapacity * 2) - 1) << 1
     private var mask = cap - 1
     private var keys = new Array[Long](cap)
-    private var used = new Array[Boolean](cap)
+    private var stamp = new Array[Int](cap) // slot live iff stamp(i) == gen
+    private var gen = 1
     private var n = 0
 
     def size: Int = n
+
+    /** O(1) reset; reallocates nothing. */
+    def clear(): Unit = {
+      n = 0
+      if (gen == Int.MaxValue) { java.util.Arrays.fill(stamp, 0); gen = 1 }
+      else gen += 1
+    }
 
     /** Returns true if newly added. Keys may be any long incl. 0. */
     def add(k: Long): Boolean = {
       if (n * 4 >= cap * 3) grow()
       var i = (mix64(k) & mask).toInt
-      while (used(i)) {
+      while (stamp(i) == gen) {
         if (keys(i) == k) return false
         i = (i + 1) & mask
       }
-      keys(i) = k; used(i) = true; n += 1
+      keys(i) = k; stamp(i) = gen; n += 1
       true
     }
 
+    def contains(k: Long): Boolean = {
+      var i = (mix64(k) & mask).toInt
+      while (stamp(i) == gen) {
+        if (keys(i) == k) return true
+        i = (i + 1) & mask
+      }
+      false
+    }
+
     private def grow(): Unit = {
-      val ok = keys; val ou = used
+      val ok = keys; val os = stamp; val og = gen
       cap <<= 1; mask = cap - 1
-      keys = new Array[Long](cap); used = new Array[Boolean](cap)
-      n = 0
+      keys = new Array[Long](cap); stamp = new Array[Int](cap)
+      gen = 1; n = 0
       var i = 0
       while (i < ok.length) {
-        if (ou(i)) add(ok(i))
+        if (os(i) == og) add(ok(i))
         i += 1
       }
     }
 
+    /** Fresh exact-size sorted array (escapes into the output row). */
     def toSortedArray: Array[Long] = {
       val out = new Array[Long](n)
       var i = 0; var j = 0
-      while (i < cap) {
-        if (used(i)) { out(j) = keys(i); j += 1 }
+      while (j < n) {
+        if (stamp(i) == gen) { out(j) = keys(i); j += 1 }
         i += 1
       }
       java.util.Arrays.sort(out)
       out
-    }
-
-    /** Iterate without materializing. */
-    def foreach(f: Long => Unit): Unit = {
-      var i = 0
-      while (i < cap) {
-        if (used(i)) f(keys(i))
-        i += 1
-      }
     }
   }
 

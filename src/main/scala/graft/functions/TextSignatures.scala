@@ -46,6 +46,30 @@ object TextSignatures {
     permCache.computeIfAbsent(cfg, c => new Perms(c))
 
   /**
+   * Per-thread scratch buffers. The kernel runs once per document on an
+   * executor task thread; allocating its working set (shingle dedup table,
+   * winnowing gram/deque buffers) per DOCUMENT was ~4 GB of small-object
+   * churn per 60k pages — and allocation write-bandwidth is precisely the
+   * shared resource that breaks N→4N scaling on a packed host (profiled:
+   * pure compute scales 0.86, allocation scales 0.44 at 8→32 threads).
+   * Buffers only grow (power-of-2) and are reused forever; only the arrays
+   * that ESCAPE into output rows are freshly allocated.
+   */
+  private final class Scratch {
+    val shingles = new Hashing.ScratchLongSet(4096)
+    val winnowPicked = new Hashing.ScratchLongSet(512)
+    var hs: Array[Long] = new Array[Long](4096)
+    var deque: Array[Int] = new Array[Int](4096)
+    def ensureGrams(n: Int): Unit = if (hs.length < n) {
+      val c = Integer.highestOneBit(n - 1) << 1
+      hs = new Array[Long](c)
+      deque = new Array[Int](c)
+    }
+  }
+  private val scratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
+  /**
    * Normalize for signature purposes ONLY (the stored `text` column is never
    * touched — byte-identity invariant): lowercase, collapse whitespace runs
    * to single spaces, trim. Mirrors the reference's derived-column char
@@ -73,7 +97,8 @@ object TextSignatures {
   /** Distinct k-shingle hashes of a normalized char array, sorted. */
   def shingleSet(cs: Array[Char], k: Int): Array[Long] = {
     if (cs.length < k) return Array.empty
-    val set = new LongSet(cs.length)
+    val set = scratch.get().shingles
+    set.clear()
     var i = 0
     val last = cs.length - k
     while (i <= last) {
@@ -83,8 +108,10 @@ object TextSignatures {
     set.toSortedArray
   }
 
-  /** Full signature bundle; single pass over the text. */
-  def compute(text: String, cfg: GraftConfig): Sig = {
+  /** Full signature bundle; single pass over the text. emitShingles = false
+    * skips materializing the sorted shingle array (set size still counted) —
+    * for pipelines whose verify tier recomputes Jaccard from text. */
+  def compute(text: String, cfg: GraftConfig, emitShingles: Boolean = true): Sig = {
     if (text == null) return empty
     val cs = normalize(text)
     if (cs.length < cfg.shingleK) return empty
@@ -92,7 +119,8 @@ object TextSignatures {
 
     // --- distinct shingle hashes + streaming MinHash ---
     val k = cfg.shingleK
-    val set = new LongSet(cs.length)
+    val set = scratch.get().shingles
+    set.clear()
     val sig = new Array[Long](cfg.numPerm)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
@@ -110,7 +138,8 @@ object TextSignatures {
       }
       i += 1
     }
-    val shingles = set.toSortedArray
+    val nShingles = set.size
+    val shingles = if (emitShingles) set.toSortedArray else Array.emptyLongArray
 
     // --- LSH band keys: hash r consecutive sig rows per band, mix band idx
     //     so band 3's bucket space never collides with band 7's ---
@@ -135,8 +164,8 @@ object TextSignatures {
     var nTokens = 0
     val spans = Tokenize.kernel(cfg.tokenizer)(cs)
     while (spans.hasNext) {
-      val (start, end) = spans.next()
-      val th = hashChars(cs, start, end)
+      val span = spans.nextSpan()
+      val th = hashChars(cs, Tokenize.spanStart(span), Tokenize.spanEnd(span))
       var bit = 0
       while (bit < 64) {
         if (((th >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
@@ -166,14 +195,18 @@ object TextSignatures {
     val spanKeys = winnow(cs, cfg.spanGramLen, cfg.winnowWindow)
 
     Sig(shingles, sig, bandKeys, if (nTokens == 0) 0L else simhash, chunks, spanKeys,
-      shingles.length, nTokens)
+      nShingles, nTokens)
   }
 
-  /** Winnowing fingerprint selection over g-gram hashes with window w. */
+  /** Winnowing fingerprint selection over g-gram hashes with window w.
+    * All working buffers are per-thread scratch (see Scratch above); only
+    * the returned fingerprint array is freshly allocated. */
   def winnow(cs: Array[Char], g: Int, w: Int): Array[Long] = {
     val nGrams = cs.length - g + 1
     if (nGrams < 1) return Array.empty
-    val hs = new Array[Long](nGrams)
+    val sc = scratch.get()
+    sc.ensureGrams(nGrams)
+    val hs = sc.hs
     var i = 0
     while (i < nGrams) { hs(i) = hashChars(cs, i, i + g); i += 1 }
     if (nGrams <= w) {
@@ -181,9 +214,10 @@ object TextSignatures {
       while (i < nGrams) { if (hs(i) < m) m = hs(i); i += 1 }
       return Array(m)
     }
-    val picked = new LongSet(nGrams / w + 4)
+    val picked = sc.winnowPicked
+    picked.clear()
     // classic O(n) sliding-window minimum via monotonic deque of indices
-    val deque = new Array[Int](nGrams)
+    val deque = sc.deque
     var head = 0; var tail = 0 // [head, tail)
     i = 0
     while (i < nGrams) {

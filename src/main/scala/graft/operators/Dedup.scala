@@ -66,18 +66,21 @@ object Dedup {
   /** MinHash+LSH near-dup pairs over any (id, text) table — the scale path. */
   def minhashDupPairs(docs: DataFrame, cfg: GraftConfig,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // persisted: consumed by the banding stage and twice by the verify joins
-    val sigs = Signatures.compute(docs, cfg, idCol, textCol)
+    // persisted: consumed by the banding stage and twice by the verify
+    // joins; narrow bundle (no shingle arrays — exact verify recomputes
+    // from text, bitwise-identical)
+    val sigs = Signatures.compute(docs, cfg, idCol, textCol, emitShingles = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = CandidateGen.minhashStage(sigs, cfg)
-    JaccardVerify.verify(cands.candidates, sigs, cfg)
+    val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    JaccardVerify.verify(cands.candidates, sigs, cfg, texts = Some(texts))
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** SimHash Hamming-ball near-dup pairs (token-level semantic near-dup). */
   def simhashDupPairs(docs: DataFrame, cfg: GraftConfig,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = Signatures.compute(docs, cfg, idCol, textCol)
+    val sigs = Signatures.compute(docs, cfg, idCol, textCol, emitShingles = false)
     val cands = CandidateGen.simhashStage(sigs, cfg)
     val fp = sigs.select(col("id"), col("simhash"))
     cands.candidates

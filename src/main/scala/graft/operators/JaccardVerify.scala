@@ -62,8 +62,19 @@ object JaccardVerify {
     * tradeoff flips, hence a knob, default off. */
   val broadcastMaxDocs: Long = sys.env.getOrElse("GRAFT_BCAST_MAX_DOCS", "0").toLong
 
+  /**
+   * texts = Some(df(id, text)): tier 2 recomputes the exact shingle Jaccard
+   * FROM THE TEXT per surviving pair (TextShingleJaccard — same kernel,
+   * bitwise-identical result) instead of joining stored shingle arrays.
+   * A shingle array is ~8 bytes per corpus char; the text is ~8x smaller,
+   * so this cuts tier-2 join traffic ~8x and lets the signature stage skip
+   * materializing shingle arrays entirely (Signatures.compute
+   * emitShingles=false). The CPU cost — re-shingling two documents per
+   * SURVIVING pair — is a few microseconds against tens of KB of saved
+   * memory/shuffle traffic, the resource that actually caps N→4N scaling.
+   */
   def verify(candidates: DataFrame, sigs: DataFrame, cfg: GraftConfig,
-      estimate: Boolean = false): DataFrame = {
+      estimate: Boolean = false, texts: Option[DataFrame] = None): DataFrame = {
     val t = cfg.simThreshold
     val minhashSide = sigs.select(col("id"), col("minhash").as("s"))
     // short-circuit: with the default knob (0 = off) never run the count job
@@ -81,11 +92,18 @@ object JaccardVerify {
       val margin = 3.5 * sigma
       val survivors = estimated.filter(col("est") >= t - margin)
         .select("id1", "id2", "stage")
-      // tier-2 survivors ≈ true-pair volume: the heavy shingle side is
-      // never broadcast (8 bytes/char of corpus) — survivors shuffle to it
-      val shingleSide = sigs.select(col("id"), col("shingles").as("s"))
-      scorePairs(survivors, shingleSide,
-        SimilarityExpressions.jaccardSorted, "jaccard", bcast = false)
+      // tier-2 survivors ≈ true-pair volume; the heavy side is never
+      // broadcast — survivors shuffle to it
+      val (side, score) = texts match {
+        case Some(d) =>
+          (d.select(col("id"), col("text").as("s")),
+            (s1: org.apache.spark.sql.Column, s2: org.apache.spark.sql.Column) =>
+              SimilarityExpressions.textShingleJaccard(s1, s2, cfg.shingleK))
+        case None =>
+          (sigs.select(col("id"), col("shingles").as("s")),
+            SimilarityExpressions.jaccardSorted _)
+      }
+      scorePairs(survivors, side, score, "jaccard", bcast = false)
         .filter(col("jaccard") >= t)
         .select(col("id1"), col("id2"), col("jaccard"), col("stage"))
     }

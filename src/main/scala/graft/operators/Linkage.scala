@@ -28,7 +28,7 @@ object Linkage {
       sourceCol: String = "source"): DataFrame = {
     val src = records.select(col(idCol).cast("long").as("id"),
       col(sourceCol).as("source"))
-    val sigs = Signatures.compute(records, cfg, idCol, textCol)
+    val sigs = Signatures.compute(records, cfg, idCol, textCol, emitShingles = false)
       .join(src, "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // source-disjointness evaluated INSIDE the bucket join (pairFilter hook):
@@ -40,7 +40,9 @@ object Linkage {
       col(s"$a.source") =!= col(s"$b.source")
     val cands = CandidateGen.all(sigs, cfg,
       extra = Seq("source"), pairFilter = Some(crossSource)).candidates
-    val verified = JaccardVerify.verify(cands, sigs, cfg)
+    val texts = records.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+    val verified = JaccardVerify.verify(cands, sigs, cfg, texts = Some(texts))
     verified
       .join(src.select(col("id").as("id1"), col("source").as("src1")), "id1")
       .join(src.select(col("id").as("id2"), col("source").as("src2")), "id2")

@@ -231,7 +231,8 @@ object MultiField {
     require(specs.nonEmpty, "at least one field spec required")
     val memberships = specs.zipWithIndex.map { case (sp, i) =>
       val sigs = Signatures.compute(
-        records.select(col(idCol).as("id"), col(sp.source).as("text")), cfg)
+        records.select(col(idCol).as("id"), col(sp.source).as("text")), cfg,
+        emitShingles = false)
       sigs.select(col("id"),
         // field-mixed bucket: field i's bucket space never collides with
         // field j's (same trick as band-index mixing inside the kernel)

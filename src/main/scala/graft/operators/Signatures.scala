@@ -28,8 +28,8 @@ object Signatures {
       n_tokens: Int)
 
   /** Column-level signature UDF (one pass; see TextSignatures.compute). */
-  def sigUdf(cfg: GraftConfig) = udf { (text: String) =>
-    val s = TextSignatures.compute(text, cfg)
+  def sigUdf(cfg: GraftConfig, emitShingles: Boolean = true) = udf { (text: String) =>
+    val s = TextSignatures.compute(text, cfg, emitShingles)
     SigRow(s.shingles, s.minhash, s.bandKeys, s.simhash, s.simhashChunks,
       s.spanKeys, s.nShingles, s.nTokens)
   }
@@ -38,11 +38,19 @@ object Signatures {
    * df(id, text, ...) -> df(id, shingles, band_keys, simhash, simhash_chunks,
    * span_keys, n_shingles, n_tokens). `text` itself is NOT carried forward —
    * downstream stages only ever see derived columns (byte-identity invariant).
+   *
+   * emitShingles = false drops the shingle-array column (and skips building
+   * the array in the kernel): ~8 bytes/char of corpus that the text-mode
+   * verify tier (JaccardVerify texts=...) never needs — the signature
+   * bundle shrinks ~7x, which is most of the stage's persist/cache traffic.
    */
   def compute(df: DataFrame, cfg: GraftConfig,
-      idCol: String = "id", textCol: String = "text"): DataFrame = {
-    df.select(col(idCol).as("id"), sigUdf(cfg)(col(textCol)).as("sig"))
+      idCol: String = "id", textCol: String = "text",
+      emitShingles: Boolean = true): DataFrame = {
+    val out = df.select(col(idCol).as("id"),
+        sigUdf(cfg, emitShingles)(col(textCol)).as("sig"))
       .select(col("id"), col("sig.*"))
+    if (emitShingles) out else out.drop("shingles")
   }
 
   /** Jaccard of two sorted distinct shingle-hash arrays — native Catalyst

@@ -46,11 +46,16 @@ final class DedupPipeline(
       if (hostSalts > 1 && pages.columns.contains("url"))
         Salting.saltPagesByHost(pages, hostSalts)
       else pages
-    // signatures feed 3 blocking stages + 2 verify joins → persisted;
-    // candidates/verified each have a single consumer → no persist (the
-    // CC loop localCheckpoints its edge set on entry anyway)
+    // signatures feed 3 blocking stages + the tier-1 verify join → persisted.
+    // emitShingles = false: the verify tier recomputes exact Jaccard from
+    // text (JaccardVerify texts mode, bitwise-identical), so the ~8
+    // bytes/char shingle arrays are never built, cached, or shuffled — the
+    // signature bundle is ~7x narrower, which is most of this stage's
+    // cache/checkpoint traffic. candidates/verified each have a single
+    // consumer → no persist (the CC loop localCheckpoints its edge set on
+    // entry anyway)
     val sigs = stage("signatures", persist = true) {
-      Signatures.compute(input, cfg)
+      Signatures.compute(input, cfg, emitShingles = false)
     }
     val candStage = stage("candidates") {
       val r = CandidateGen.all(sigs, cfg)
@@ -58,7 +63,8 @@ final class DedupPipeline(
       r.candidates
     }
     val verified = stage("verified") {
-      JaccardVerify.verify(candStage, sigs, cfg, estimateJaccard)
+      JaccardVerify.verify(candStage, sigs, cfg, estimateJaccard,
+        texts = Some(input.select(col("id"), col("text"))))
     }
     val assignments = stage("clusters") {
       val comps = ConnectedComponents.components(verified)

@@ -27,7 +27,7 @@ object IncrementalDedup {
 
   /** Static side: (id, bucket) band memberships of the existing corpus. */
   def staticBandTable(pages: DataFrame, cfg: GraftConfig): DataFrame =
-    Signatures.compute(pages, cfg)
+    Signatures.compute(pages, cfg, emitShingles = false)
       .select(col("id"), explode(col("band_keys")).as("bucket"))
 
   /**
@@ -36,7 +36,7 @@ object IncrementalDedup {
    */
   def candidates(streamingPages: DataFrame, staticBands: DataFrame,
       cfg: GraftConfig): DataFrame = {
-    val newBands = Signatures.compute(streamingPages, cfg)
+    val newBands = Signatures.compute(streamingPages, cfg, emitShingles = false)
       .select(col("id").as("new_id"), explode(col("band_keys")).as("bucket"))
     newBands.join(staticBands.withColumnRenamed("id", "existing_id"), "bucket")
       .filter(col("new_id") =!= col("existing_id"))

@@ -86,7 +86,14 @@ class TextSignaturesSpec extends AnyFunSuite {
   test("kernel tokenizers: whitespace spans == historical split; alnum splits punctuation") {
     def toks(name: String, s: String): Seq[String] = {
       val cs = TextSignatures.normalize(s)
-      Tokenize.kernel(name)(cs).map { case (a, b) => new String(cs, a, b - a) }.toSeq
+      val it = Tokenize.kernel(name)(cs)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val sp = it.nextSpan()
+        val a = Tokenize.spanStart(sp); val b = Tokenize.spanEnd(sp)
+        out += new String(cs, a, b - a)
+      }
+      out.result()
     }
     assert(toks("whitespace", "  Hello   WORLD x ") == Seq("hello", "world", "x"))
     assert(toks("whitespace", "") == Seq.empty)
