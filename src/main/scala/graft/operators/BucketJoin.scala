@@ -62,10 +62,16 @@ object BucketJoin {
       countHits: Boolean = false): Result = {
     val m = memberships.withColumn("id", col("id").cast("long"))
       .withColumn("bucket", col("bucket").cast("long"))
-    val stats = m.groupBy("bucket")
-      .agg(count(lit(1)).as("bucket_n"), min("id").as("bucket_min"))
-
-    val joined = m.join(stats, "bucket")
+    // Per-bucket count + min via WINDOW functions, not groupBy + join-back:
+    // the membership table (the engine's highest-row-count intermediate —
+    // tens of keys per doc) then crosses ONE exchange instead of three
+    // (groupBy, join probe, join build), and the bucket-hash partitioning
+    // it establishes is exactly what the self-join below needs, so both
+    // join sides reuse the same exchange instead of shuffling again.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val joined = m
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bucket_min", min("id").over(w))
 
     val small = joined.filter(col("bucket_n") <= cap)
     val smallJoined = small.as("a")
@@ -90,7 +96,8 @@ object BucketJoin {
         Seq.empty[(Long, Long)].toDF("id1", "id2")
     }
 
-    val oversizeLog = stats.filter(col("bucket_n") > cap)
+    val oversizeLog = joined.filter(col("bucket_n") > cap)
+      .select(col("bucket"), col("bucket_n")).distinct()
       .select(lit(stage).as("stage"), col("bucket"), col("bucket_n"),
         lit(oversize.toString).as("policy"))
 

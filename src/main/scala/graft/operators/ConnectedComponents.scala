@@ -27,8 +27,19 @@ object ConnectedComponents {
    * edges(id1, id2) → assignments(id, component) where component = min id of
    * the connected component. Nodes that appear in no edge are NOT emitted
    * (singletons handled by Clustering.assignAll).
+   *
+   * driverFinishEdges: edge sets at or below this size are finished with an
+   * in-memory union-find on the driver (one collect of 16 bytes/edge,
+   * ≤ ~32 MB at the default) instead of the iterative loop — the standard
+   * last-mile for iterative graph contraction: each loop round costs 2+
+   * driver round-trips and a full shuffle no matter how tiny the graph, so
+   * below the threshold the loop is pure scheduling latency. The result is
+   * IDENTICAL (component = min member id both ways). At web scale the edge
+   * set exceeds the threshold and the distributed loop runs; pass 0 to
+   * force the loop (tests pin both paths).
    */
-  def components(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def components(edges: DataFrame, maxIterations: Int = 50,
+      driverFinishEdges: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     // AQE is pure overhead for the loop's many tiny shuffles: every query
     // stage materializes + re-plans, adding driver latency per round that
@@ -38,7 +49,7 @@ object ConnectedComponents {
     val aqeWas = getIfSet(spark, "spark.sql.adaptive.enabled")
     val partsWas = getIfSet(spark, "spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try components0(edges, maxIterations)
+    try components0(edges, maxIterations, driverFinishEdges)
     finally {
       restore(spark, "spark.sql.adaptive.enabled", aqeWas)
       restore(spark, "spark.sql.shuffle.partitions", partsWas)
@@ -56,7 +67,8 @@ object ConnectedComponents {
       case None => spark.conf.unset(key)
     }
 
-  private def components0(edges: DataFrame, maxIterations: Int): DataFrame = {
+  private def components0(edges: DataFrame, maxIterations: Int,
+      driverFinishEdges: Long): DataFrame = {
     // canonical directed edges large → small; drop self-loops
     var e = edges.select(
       greatest(col("id1"), col("id2")).as("src"),
@@ -64,6 +76,9 @@ object ConnectedComponents {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+
+    val nEdges = e.count()
+    if (nEdges <= driverFinishEdges) return driverFinish(e)
 
     // right-size the loop's shuffles to the edge volume: each iteration is
     // ~16 tiny shuffle stages, and with the session's full partition count
@@ -77,7 +92,7 @@ object ConnectedComponents {
     val spark = e.sparkSession
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(1L, math.min(sessionParts.toLong,
-      e.count() / 250000L + 1)).toInt
+      nEdges / 250000L + 1)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
 
     var lastFp: (Long, String, String) = (-1L, "", "")
@@ -88,7 +103,11 @@ object ConnectedComponents {
       // references its input ~3 times (neighbor union, per-node min join,
       // self edges), so chaining unmaterialized rounds multiplies subtree
       // re-execution ~3^k — measured SLOWER than paying the checkpoint.
-      e = smallStar(largeStar(e)).localCheckpoint()
+      // LAZY checkpoint + fingerprint: the fingerprint aggregation is the
+      // round's ONE action — it materializes the checkpoint partitions and
+      // computes the convergence fingerprint in the same job (the eager
+      // form cost a second driver round-trip per round).
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val fp = fingerprint(e)
       converged = fp == lastFp
       lastFp = fp
@@ -99,6 +118,28 @@ object ConnectedComponents {
     e.select(col("src").as("id"), col("dst").as("component"))
       .union(e.select(col("dst").as("id"), col("dst").as("component")))
       .distinct()
+  }
+
+  /** Bounded driver finish: union-find (path compression + union by size,
+    * graft.eval.UnionFind — reference union_find.py semantics) over a
+    * collected edge list; component = min member id, exactly the loop's
+    * output. One collect, zero loop rounds. */
+  private def driverFinish(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val uf = new graft.eval.UnionFind
+    uf.unionPairs(pairs)
+    // min member id per root, then one row per member
+    val minOf = scala.collection.mutable.LongMap.empty[Long]
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    pairs.foreach { case (a, b) => nodes += a; nodes += b }
+    val distinctNodes = nodes.distinct
+    distinctNodes.foreach { n =>
+      val r = uf.find(n)
+      minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), n)
+    }
+    distinctNodes.toSeq.map(n => (n, minOf(uf.find(n)))).toDF("id", "component")
   }
 
   /**

@@ -71,6 +71,32 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(assign == expected)
   }
 
+  test("distributed star loop (driverFinishEdges=0) == driver union-find finish") {
+    val rnd = new scala.util.Random(77)
+    val n = 500
+    val edges = Seq.fill(400)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val viaLoop = ConnectedComponents
+      .components(edges.toDF("id1", "id2"), driverFinishEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDriver = ConnectedComponents
+      .components(edges.toDF("id1", "id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLoop == viaDriver)
+    assert(viaLoop.nonEmpty)
+  }
+
+  test("golden fixture through the distributed loop (driverFinishEdges=0)") {
+    val edges = goldenEdges.toDF("id1", "id2")
+    val comps = ConnectedComponents.components(edges, driverFinishEdges = 0L)
+    val assign = Clustering.assignAll(allIds.toDF("id"), comps, normalizeIds = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(assign == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L, 10L -> 6L,
+      11L -> 11L, 12L -> 12L))
+  }
+
   test("CC is idempotent: re-running on star output is a fixpoint") {
     val edges = goldenEdges.toDF("id1", "id2")
     val comps = ConnectedComponents.components(edges)
