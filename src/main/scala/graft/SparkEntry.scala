@@ -21,10 +21,15 @@ object SparkEntry {
     * inside is boundary-unambiguous for the float filter in both engines. */
   private val ngramThreshold = 0.2
 
+  /** Input tables come through the TableIO seam (graft.io.TableIO): the
+    * driver's sf dirs are path-per-table parquet; an Iceberg deployment
+    * swaps the implementation without touching any query below. */
+  private def tables(s: SparkSession, dir: String): graft.io.TableIO =
+    new graft.io.ParquetTables(s, dir, suffix = ".parquet")
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    tables(s, dir).read("documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    tables(s, dir).read("embeddings")
   private def labelClusters(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id").as("id"), col("label").cast("long").as("cluster"))
 
@@ -91,10 +96,11 @@ object SparkEntry {
     "q_threshold_sweep" -> ((s, _) => {
       import s.implicits._
       val (pages, truth) = corpus(s)
-      val sigs = Signatures.compute(pages, cfg)
+      val sigs = Signatures.compute(pages, cfg, emitShingles = false)
       val cands = CandidateGen.all(sigs, cfg).candidates
       val scored = JaccardVerify.verify(cands, sigs,
-        cfg.copy(simThreshold = 0.0)) // score all candidates, sweep filters
+        cfg.copy(simThreshold = 0.0), // score all candidates, sweep filters
+        texts = Some(pages.select(col("id"), col("text"))))
       // materialize the scored intermediate so the DuckDB oracle can
       // recompute the sweep metrics from the exact same pair scores
       scored.select("id1", "id2", "jaccard")
@@ -221,7 +227,11 @@ object SparkEntry {
     *    (mirrored by Verify under auxDir/out), recomputes every checkable
     *    value column from base tables in DuckDB, and re-emits only rows
     *    passing all checks — a wrong jaccard/cosine/count/span in ANY row
-    *    makes the row vanish and the compare go red.
+    *    makes the row vanish and the compare go red. Each one-sided oracle
+    *    ALSO emits a poison row when the mirrored result has fewer rows
+    *    than a pinned floor for the deterministic sf0.01 corpus, so a
+    *    silently-empty/shrunken Spark result can no longer compare green
+    *    (vacuous-pass guard).
     */
   private val N = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private def shingleSql(src: String, idc: String): String =
@@ -244,6 +254,8 @@ object SparkEntry {
           WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(a.s || b.s)), 6) = r.jaccard
             AND r.jaccard >= ${cfg.simThreshold}
+          UNION ALL SELECT -1::BIGINT, -1::BIGINT, -1.0::DOUBLE
+            WHERE (SELECT count(*) FROM r) < 20
           ORDER BY 1, 2""",
     // ONE-SIDED: emitted n_shingles / n_tokens recomputed from `documents`
     // (simhash itself is pinned by determinism + Hamming specs in sbt)
@@ -256,7 +268,10 @@ object SparkEntry {
           r AS (SELECT * FROM read_parquet('$auxDir/out/q_simhash_fingerprints/*.parquet'))
           SELECT r.id, r.simhash, r.n_shingles, r.n_tokens FROM r
           JOIN m ON m.doc_id = r.id
-          WHERE r.n_shingles = m.ns AND r.n_tokens = m.ntok ORDER BY r.id""",
+          WHERE r.n_shingles = m.ns AND r.n_tokens = m.ntok
+          UNION ALL SELECT -1::BIGINT, -1::BIGINT, -1::INT, -1::INT
+            WHERE (SELECT count(*) FROM r) < (SELECT count(*) FROM documents)
+          ORDER BY 1""",
     // ONE-SIDED: every emitted cross-source pair is cross-source by parity,
     // and its exact shingle Jaccard (recomputed from the materialized
     // corpus) equals the emitted value
@@ -269,6 +284,8 @@ object SparkEntry {
             AND round(len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(a.s || b.s)), 6) = r.jaccard
             AND r.jaccard >= ${cfg.simThreshold}
+          UNION ALL SELECT -1::BIGINT, -1::BIGINT, -1.0::DOUBLE
+            WHERE (SELECT count(*) FROM r) < 2500
           ORDER BY 1, 2""",
     // ONE-SIDED: every emitted span must be a true common substring of both
     // normalized pages with the emitted length (>= minSpanLen)
@@ -280,6 +297,8 @@ object SparkEntry {
           JOIN p a ON a.id = r.id1 JOIN p b ON b.id = r.id2
           WHERE len(r.span) = r.span_len AND r.span_len >= ${cfg.minSpanLen}
             AND contains(a.nt, r.span) AND contains(b.nt, r.span)
+          UNION ALL SELECT -1::BIGINT, -1::BIGINT, -1::INT, ''
+            WHERE (SELECT count(*) FROM r) < 18000
           ORDER BY 1, 2""",
     // ONE-SIDED: emitted cosine recomputed from `embeddings`; emitted rank
     // must be consistent with the emitted (cosine, neighbor) ordering
@@ -293,7 +312,10 @@ object SparkEntry {
             FROM r JOIN embeddings a ON a.vec_id = r.id
             JOIN embeddings b ON b.vec_id = r.neighbor)
           SELECT id, neighbor, cosine, rank FROM chk
-          WHERE cosine = c2 AND rank = rk2 AND rank <= 3 ORDER BY id, rank""",
+          WHERE cosine = c2 AND rank = rk2 AND rank <= 3
+          UNION ALL SELECT -1::BIGINT, -1::BIGINT, -1.0::DOUBLE, -1::INT
+            WHERE (SELECT count(*) FROM r) < 400
+          ORDER BY 1, 4""",
     // TWO-SIDED: full pipeline vs DuckDB-native prefix-filtered exact
     // shingle-Jaccard join + recursive-CTE connected components over the
     // materialized corpus (cluster id = min member id; singletons = own id)

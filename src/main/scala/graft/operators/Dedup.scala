@@ -25,14 +25,27 @@ object Dedup {
       .filter(col("dup_count") > 1)
       .select(col("canonical_id"), col("dup_count"))
 
-  /** Exact duplicate pairs (id1 < id2) via hash-grouped self-join. */
+  /** Exact duplicate pairs (id1 < id2), scale form: the self-join moves
+    * only (id, xxhash64(text), length(text)) — 24 bytes/row — through the
+    * exchange; full text is compared ONLY for hash+length-colliding
+    * candidate pairs (≈ true dups + ~0 64-bit collisions) via id-keyed
+    * joins whose probe side is the tiny candidate set (AQE broadcasts it,
+    * so the text column never enters an exchange at all on the common
+    * path). Result identical to a full-text self-join. */
   def exactDupPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val d = docs.select(col(idCol).as("id"), xxhash64(col(textCol)).as("h"), col(textCol))
-    d.as("a").join(d.as("b"),
-        col("a.h") === col("b.h") && col(s"a.$textCol") === col(s"b.$textCol")
+    val h = docs.select(col(idCol).as("id"),
+      xxhash64(col(textCol)).as("h"), length(col(textCol)).as("len"))
+    val cand = h.as("a").join(h.as("b"),
+        col("a.h") === col("b.h") && col("a.len") === col("b.len")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    cand
+      .join(t.select(col("id").as("id1"), col("t").as("t1")), "id1")
+      .join(t.select(col("id").as("id2"), col("t").as("t2")), "id2")
+      .filter(col("t1") === col("t2"))
+      .select(col("id1"), col("id2"))
   }
 
   /**

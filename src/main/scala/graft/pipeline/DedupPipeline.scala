@@ -31,9 +31,17 @@ final class DedupPipeline(
     checkpointDir: Option[String] = None,
     estimateJaccard: Boolean = false,
     normalizeClusterIds: Boolean = false,
-    hostSalts: Int = 8) {
+    hostSalts: Int = 8,
+    tableIO: Option[graft.io.TableIO] = None) {
 
   import DedupPipeline._
+
+  /** All stage/lineage/metrics IO goes through the TableIO seam: explicit
+    * `tableIO` wins; else `checkpointDir` selects path-per-table parquet;
+    * else stages stay in-session (persist, no resume). Swapping in an
+    * Iceberg-backed TableIO touches nothing below this line. */
+  private val io: Option[graft.io.TableIO] =
+    tableIO.orElse(checkpointDir.map(d => new graft.io.ParquetTables(spark, d)))
 
   /** pages(id, text, ...) → (id, cluster) for every input page. */
   def run(pages: DataFrame): Result = {
@@ -83,37 +91,32 @@ final class DedupPipeline(
     * stages are left lazy (persisting them costs a full extra
     * materialization for nothing). */
   private def stage(name: String, persist: Boolean = false)(body: => DataFrame): DataFrame =
-    checkpointDir match {
+    io match {
       case None =>
         if (persist) body.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else body
-      case Some(dir) =>
-        val path = s"$dir/$name"
-        val ok = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_OK")
-        val fs = ok.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(ok)) {
-          val df = body
-          df.write.mode(SaveMode.Overwrite).parquet(path)
-          logLineage(name, path)
-          fs.create(ok, true).close()
+      case Some(t) =>
+        if (!t.isComplete(name)) {
+          t.write(body, name)
+          logLineage(name)
+          t.markComplete(name)
         }
-        spark.read.parquet(path)
+        t.read(name)
     }
 
   /** Append-only side output (metrics/logs), best-effort under no checkpoint. */
   private def sideSink(name: String, df: DataFrame): Unit =
-    checkpointDir.foreach { dir =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
-    }
+    io.foreach(_.write(df, name, SaveMode.Overwrite))
 
   /** Per-partition lineage: rows per partition of the stage output. */
-  private def logLineage(name: String, path: String): Unit =
-    checkpointDir.foreach { dir =>
-      spark.read.parquet(path)
-        .groupBy(spark_partition_id().as("partition"))
-        .agg(count(lit(1)).as("rows"))
-        .withColumn("stage", lit(name))
-        .write.mode(SaveMode.Append).parquet(s"$dir/lineage")
+  private def logLineage(name: String): Unit =
+    io.foreach { t =>
+      t.append(
+        t.read(name)
+          .groupBy(spark_partition_id().as("partition"))
+          .agg(count(lit(1)).as("rows"))
+          .withColumn("stage", lit(name)),
+        "lineage")
     }
 }
 

@@ -25,10 +25,35 @@ import org.apache.spark.sql.functions._
  */
 object IncrementalDedup {
 
-  /** Static side: (id, bucket) band memberships of the existing corpus. */
-  def staticBandTable(pages: DataFrame, cfg: GraftConfig): DataFrame =
-    Signatures.compute(pages, cfg, emitShingles = false)
+  /** Static side: (id, bucket) band memberships of the existing corpus,
+    * SKEW-CAPPED like every batch blocking stage: a boilerplate mega-band
+    * (bucket with > cfg.maxBandBucket members) would multiply EVERY
+    * matching micro-batch row by its full membership — unbounded per-batch
+    * output from one bad bucket. Oversize buckets degrade to their min-id
+    * member as a hub (same Star connectivity policy as BucketJoin: a new
+    * page matching the band still links into the bucket's component through
+    * the hub), and the capped buckets are available via [[oversizeLog]] —
+    * no silent drops. */
+  def staticBandTable(pages: DataFrame, cfg: GraftConfig): DataFrame = {
+    val m = Signatures.compute(pages, cfg, emitShingles = false)
       .select(col("id"), explode(col("band_keys")).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    m.withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bucket_min", min("id").over(w))
+      .filter(col("bucket_n") <= cfg.maxBandBucket || col("id") === col("bucket_min"))
+      .select(col("id"), col("bucket"))
+  }
+
+  /** Capped static bands (stage, bucket, bucket_n, policy) — the streaming
+    * analog of BucketJoin's oversize log. */
+  def oversizeLog(pages: DataFrame, cfg: GraftConfig): DataFrame = {
+    val m = Signatures.compute(pages, cfg, emitShingles = false)
+      .select(col("id"), explode(col("band_keys")).as("bucket"))
+    m.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cfg.maxBandBucket)
+      .select(lit("stream_static_bands").as("stage"), col("bucket"),
+        col("bucket_n"), lit("Star").as("policy"))
+  }
 
   /**
    * streamingPages(id, text) [streaming DF] x static band table →

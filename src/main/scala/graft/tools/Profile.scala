@@ -28,7 +28,7 @@ object Profile {
       df
     }
     val sigs = time("signatures (materialize)") {
-      val s = Signatures.compute(pages, cfg)
+      val s = Signatures.compute(pages, cfg, emitShingles = false)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       s.count()
       s
@@ -51,7 +51,8 @@ object Profile {
       println(s"  total cands: ${c.count()}"); c
     }
     val verified = time("jaccard verify") {
-      val v = JaccardVerify.verify(cands, sigs, cfg).persist()
+      val v = JaccardVerify.verify(cands, sigs, cfg,
+        texts = Some(pages.select(col("id"), col("text")))).persist()
       println(s"  verified: ${v.count()}"); v
     }
     val comps = time("connected components") {

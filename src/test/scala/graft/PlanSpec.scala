@@ -74,4 +74,30 @@ class PlanSpec extends SparkSuite {
     // scan -> UDF projection -> struct expansion fused into codegen id 1
     assert(formatted.contains("[codegen id : 1]"), formatted)
   }
+
+  test("exactDupPairs keeps full text out of the candidate-join exchanges") {
+    // AQE defers the physical plan and broadcast hides exchanges at this
+    // tiny scale — force the shuffle form so the exchange payload is
+    // inspectable (the 100 TB shape)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val exchanges = try {
+      val docs = spark.read.parquet(docsPath)
+      Dedup.exactDupPairs(docs).queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // the hash self-join shuffles (id, h, len) only — any exchange carrying
+    // the hash column must NOT also carry the text payload
+    val hashExchanges = exchanges.filter(_.contains("h"))
+    assert(hashExchanges.nonEmpty, s"expected a hash-keyed exchange: $exchanges")
+    hashExchanges.foreach { cols =>
+      assert(!cols.exists(c => c == "text" || c == "t" || c == "t1" || c == "t2"),
+        s"text payload leaked into the candidate exchange: $cols")
+    }
+  }
 }

@@ -107,4 +107,17 @@ class PairFeaturesIOSpec extends SparkSuite {
       PairIO.readRecords(spark, noId)
     }
   }
+
+  test("S2/SET3 unionTagged: tags both sources, keeps every row, aligns by name") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    // columns deliberately reordered: unionByName must align by NAME
+    val right = Seq(("c", 10L), ("d", 11L)).toDF("text", "id")
+    val u = graft.io.PairIO.unionTagged(left, right, "L", "R")
+    assert(u.columns.sorted.toSeq == Seq("id", "source", "text"))
+    val rows = u.select("id", "text", "source").as[(Long, String, String)]
+      .collect().toSet
+    assert(rows == Set(
+      (1L, "a", "L"), (2L, "b", "L"), (10L, "c", "R"), (11L, "d", "R")))
+  }
 }
