@@ -7,11 +7,72 @@ package graft.functions
  */
 object SuffixArrays {
 
-  /** Suffix array of s (indices sorted by suffix). */
+  /** Suffix array of s (indices sorted by suffix). Prefix doubling with
+    * PACKED-LONG sort keys — (rank, rank(i+k), i) packed into one long and
+    * sorted with java.util.Arrays.sort over primitives. The generic
+    * `sortBy((Int, Int))` form boxed two tuples per COMPARISON per doubling
+    * round, which made the SA kernel both slow and allocation-hot (the
+    * contended resource for scaling). Packed path requires n < 2^21
+    * (~2M chars — a capped fingerprint group is ≪ that); larger inputs use
+    * the boxed fallback. */
   def build(s: Array[Int]): Array[Int] = {
     val n = s.length
     if (n == 0) return Array.empty
-    var rank = s.clone()
+    if (n < (1 << 21)) buildPacked(s) else buildBoxed(s)
+  }
+
+  private def buildPacked(s: Array[Int]): Array[Int] = {
+    val n = s.length
+    val rank = new Array[Int](n)
+    val keys = new Array[Long](n)
+    val sa = new Array[Int](n)
+    val idxMask = (1L << 21) - 1
+
+    // round 0: sort by character value (offset to non-negative), index in
+    // the low bits keeps the sort stable-by-position for equal values
+    var i = 0
+    while (i < n) {
+      keys(i) = ((s(i).toLong + n + 1) << 21) | i
+      i += 1
+    }
+    java.util.Arrays.sort(keys)
+    i = 0
+    var r = 0
+    while (i < n) {
+      val idx = (keys(i) & idxMask).toInt
+      if (i > 0 && (keys(i) >>> 21) != (keys(i - 1) >>> 21)) r += 1
+      sa(i) = idx
+      rank(idx) = r
+      i += 1
+    }
+
+    var k = 1
+    while (k < n && rank(sa(n - 1)) != n - 1) {
+      // key = (rank+1)(21b) | (rank(i+k)+1 or 0)(21b) | i(21b)
+      i = 0
+      while (i < n) {
+        val r2 = if (i + k < n) rank(i + k) + 1 else 0
+        keys(i) = ((rank(i).toLong + 1) << 42) | (r2.toLong << 21) | i
+        i += 1
+      }
+      java.util.Arrays.sort(keys)
+      i = 0
+      r = 0
+      while (i < n) {
+        val idx = (keys(i) & idxMask).toInt
+        if (i > 0 && (keys(i) >>> 21) != (keys(i - 1) >>> 21)) r += 1
+        sa(i) = idx
+        rank(idx) = r
+        i += 1
+      }
+      k <<= 1
+    }
+    sa
+  }
+
+  private def buildBoxed(s: Array[Int]): Array[Int] = {
+    val n = s.length
+    val rank = s.clone()
     var sa = Array.range(0, n)
     val tmp = new Array[Int](n)
     var k = 1
