@@ -30,6 +30,12 @@ object SimilarityExpressions {
     ExpressionUtils.column(MinHashAgreement(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Agreement fraction over PACKED 8-bit minhash lanes (8 per long) —
+    * the narrow tier-1 payload (TextSignatures.Sig.minhash8). */
+  def minhashAgreementPacked(a: Column, b: Column): Column =
+    ExpressionUtils.column(MinHashAgreementPacked(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Exact k-shingle Jaccard recomputed from the two TEXTS (normalize →
     * shingle-hash, same kernel as TextSignatures) — bitwise-identical to
     * jaccardSorted over stored shingle arrays, without ever storing or
@@ -249,5 +255,52 @@ object TextShingleJaccard {
     if (na == 0 && nb == 0) return 0.0 // empty must not match empty (P13)
     val union = na + nb - inter
     if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
+
+case class MinHashAgreementPacked(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt.isInstanceOf[ArrayType] &&
+      dt.asInstanceOf[ArrayType].elementType == LongType
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_agreement_packed"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHashAgreementPacked.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.MinHashAgreementPacked.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashAgreementPacked =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashAgreementPacked {
+  /** Fraction of equal 8-bit lanes of two equal-length packed arrays. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0 || n != b.numElements()) return 0.0
+    var i = 0
+    var eq = 0
+    while (i < n) {
+      val z = a.getLong(i) ^ b.getLong(i)
+      var lane = 0
+      while (lane < 8) {
+        if (((z >>> (lane * 8)) & 0xFFL) == 0L) eq += 1
+        lane += 1
+      }
+      i += 1
+    }
+    eq.toDouble / (n * 8)
   }
 }

@@ -26,6 +26,12 @@ object TextSignatures {
   final case class Sig(
       shingles: Array[Long], // sorted distinct k-shingle hashes (Jaccard verify)
       minhash: Array[Long], // numPerm MinHash values
+      minhash8: Array[Long], // numPerm low bytes, 8 per long — the tier-1
+      // estimate payload: position-wise EQUALITY is all the agreement
+      // estimator uses, and an 8-bit lane false-equals with p = 1/256,
+      // biasing the estimate UP by <= (1-j)/256 ~ 0.004 — far inside the
+      // verify margin (3.5 sigma ~ 0.15) and harmless anyway since tier 2
+      // is exact. 8x smaller than the full signature in every join.
       bandKeys: Array[Long], // one LSH join key per band (band idx mixed in)
       simhash: Long, // 64-bit SimHash fingerprint over word tokens
       simhashChunks: Array[Long], // Hamming-ball block keys (chunk idx mixed in)
@@ -33,7 +39,7 @@ object TextSignatures {
       nShingles: Int,
       nTokens: Int)
 
-  val empty: Sig = Sig(Array.empty, Array.empty, Array.empty, 0L, Array.empty, Array.empty, 0, 0)
+  val empty: Sig = Sig(Array.empty, Array.empty, Array.empty, Array.empty, 0L, Array.empty, Array.empty, 0, 0)
 
   /** Permutation parameters derived deterministically from the config seed. */
   final class Perms(cfg: GraftConfig) {
@@ -194,8 +200,16 @@ object TextSignatures {
     //     substring of length >= w + g - 1 shares a selected fingerprint ---
     val spanKeys = winnow(cs, cfg.spanGramLen, cfg.winnowWindow)
 
-    Sig(shingles, sig, bandKeys, if (nTokens == 0) 0L else simhash, chunks, spanKeys,
-      nShingles, nTokens)
+    // packed 8-bit minhash lanes (see Sig.minhash8)
+    val packed = new Array[Long]((cfg.numPerm + 7) / 8)
+    var p = 0
+    while (p < cfg.numPerm) {
+      packed(p >>> 3) |= (sig(p) & 0xFFL) << ((p & 7) * 8)
+      p += 1
+    }
+
+    Sig(shingles, sig, packed, bandKeys, if (nTokens == 0) 0L else simhash,
+      chunks, spanKeys, nShingles, nTokens)
   }
 
   /** Winnowing fingerprint selection over g-gram hashes with window w.

@@ -76,13 +76,24 @@ object JaccardVerify {
   def verify(candidates: DataFrame, sigs: DataFrame, cfg: GraftConfig,
       estimate: Boolean = false, texts: Option[DataFrame] = None): DataFrame = {
     val t = cfg.simThreshold
-    val minhashSide = sigs.select(col("id"), col("minhash").as("s"))
+    // tier-1 payload: prefer the packed 8-bit lanes (8x smaller; equality
+    // per position is all the estimator uses — false-equal p = 1/256 only
+    // biases the estimate up ~0.004, inside the margin, and tier 2 is
+    // exact regardless); fall back to the full signature for callers that
+    // computed wide bundles
+    val packed = sigs.columns.contains("minhash8")
+    val minhashSide =
+      if (packed) sigs.select(col("id"), col("minhash8").as("s"))
+      else sigs.select(col("id"), col("minhash").as("s"))
+    val agreement: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      if (packed) SimilarityExpressions.minhashAgreementPacked
+      else SimilarityExpressions.minhashAgreement
     // short-circuit: with the default knob (0 = off) never run the count job
     val bcast = broadcastMaxDocs > 0 && !sigs.isStreaming &&
       sigs.count() <= broadcastMaxDocs
 
     val estimated = scorePairs(candidates.select("id1", "id2", "stage"),
-      minhashSide, SimilarityExpressions.minhashAgreement, "est", bcast)
+      minhashSide, agreement, "est", bcast)
 
     if (estimate) {
       estimated.filter(col("est") >= t)

@@ -20,6 +20,7 @@ object Signatures {
   final case class SigRow(
       shingles: Array[Long],
       minhash: Array[Long],
+      minhash8: Array[Long],
       band_keys: Array[Long],
       simhash: Long,
       simhash_chunks: Array[Long],
@@ -30,7 +31,11 @@ object Signatures {
   /** Column-level signature UDF (one pass; see TextSignatures.compute). */
   def sigUdf(cfg: GraftConfig, emitShingles: Boolean = true) = udf { (text: String) =>
     val s = TextSignatures.compute(text, cfg, emitShingles)
-    SigRow(s.shingles, s.minhash, s.bandKeys, s.simhash, s.simhashChunks,
+    SigRow(s.shingles,
+      if (emitShingles) s.minhash else Array.emptyLongArray, // narrow mode:
+      // tier-1 runs on the packed lanes; the full 1KB signature is never
+      // stored or shuffled
+      s.minhash8, s.bandKeys, s.simhash, s.simhashChunks,
       s.spanKeys, s.nShingles, s.nTokens)
   }
 
@@ -50,7 +55,7 @@ object Signatures {
     val out = df.select(col(idCol).as("id"),
         sigUdf(cfg, emitShingles)(col(textCol)).as("sig"))
       .select(col("id"), col("sig.*"))
-    if (emitShingles) out else out.drop("shingles")
+    if (emitShingles) out else out.drop("shingles").drop("minhash")
   }
 
   /** Jaccard of two sorted distinct shingle-hash arrays — native Catalyst

@@ -54,4 +54,35 @@ class SimilarityExpressionsSpec extends SparkSuite {
     val r = df.select(SimilarityExpressions.jaccardSorted($"a", $"b")).head()
     assert(r.isNullAt(0))
   }
+
+  test("MinHashAgreementPacked: lane equality matches the full-value agreement") {
+    val cfg = graft.config.GraftConfig.default
+    val rnd = new scala.util.Random(3)
+    def doc() = (0 until 30 + rnd.nextInt(60)).map(_ => s"w${rnd.nextInt(50)}").mkString(" ")
+    val pairs = (0 until 40).map { i =>
+      val a = doc()
+      val b = if (i % 2 == 0) a.replace("w1", "w2") else doc()
+      (graft.functions.TextSignatures.compute(a, cfg),
+        graft.functions.TextSignatures.compute(b, cfg))
+    }
+    val df = pairs.map { case (sa, sb) =>
+      (sa.minhash, sb.minhash, sa.minhash8, sb.minhash8)
+    }.toDF("a", "b", "pa", "pb")
+    val got = df.select(
+      SimilarityExpressions.minhashAgreement($"a", $"b"),
+      SimilarityExpressions.minhashAgreementPacked($"pa", $"pb")).collect()
+    got.foreach { r =>
+      val full = r.getDouble(0); val packed = r.getDouble(1)
+      // packed can only OVER-estimate (8-bit lane false-equals, p=1/256
+      // per disagreeing lane) and by at most a few lanes
+      assert(packed >= full && packed - full <= 4.0 / cfg.numPerm,
+        s"full=$full packed=$packed")
+    }
+    // identical signatures agree exactly at 1.0
+    val self = pairs.head._1
+    val one = Seq((self.minhash8, self.minhash8)).toDF("pa", "pb")
+      .select(SimilarityExpressions.minhashAgreementPacked($"pa", $"pb"))
+      .head().getDouble(0)
+    assert(one == 1.0)
+  }
 }
