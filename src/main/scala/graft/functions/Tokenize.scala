@@ -93,12 +93,43 @@ object Tokenize {
     def nextSpan(): Long = { val s = next0; next0 = advance(); s }
   }
 
-  /** Registry keyed by GraftConfig.tokenizer (the config-level analog of
-    * the reference's dotted-path tokenizer import). */
-  def kernel(name: String): KernelTokenizer = name match {
-    case "whitespace" => kernelWhitespace
-    case "alnum" => kernelAlnum
-    case other => throw new IllegalArgumentException(
-      s"unknown tokenizer '$other' (available: whitespace, alnum)")
+  /**
+   * OPEN registry keyed by GraftConfig.tokenizer — the analog of the
+   * reference's pluggable tokenizer (field_config_parser.py:23-26, which
+   * `_import_function`s ANY dotted-path callable). Two resolution routes:
+   *  - a name registered via [[registerKernel]] (library users plug any
+   *    span tokenizer under a short name);
+   *  - a dotted JVM class name implementing `Array[Char] => SpanIterator`
+   *    with a no-arg constructor — loaded reflectively, exactly the
+   *    reference's import-by-path semantics.
+   */
+  private val kernels =
+    new java.util.concurrent.ConcurrentHashMap[String, KernelTokenizer]()
+  kernels.put("whitespace", kernelWhitespace)
+  kernels.put("alnum", kernelAlnum)
+
+  def registerKernel(name: String, kt: KernelTokenizer): Unit =
+    kernels.put(name, kt)
+
+  def kernel(name: String): KernelTokenizer = {
+    val found = kernels.get(name)
+    if (found != null) found
+    else if (name.contains(".")) {
+      try Class.forName(name).getDeclaredConstructor().newInstance()
+        .asInstanceOf[KernelTokenizer]
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"cannot load tokenizer class '$name': $e")
+      }
+    } else {
+      val names = {
+        val it = kernels.keys()
+        val b = Seq.newBuilder[String]
+        while (it.hasMoreElements) b += it.nextElement()
+        b.result().sorted.mkString(", ")
+      }
+      throw new IllegalArgumentException(
+        s"unknown tokenizer '$name' (available: $names, or a class name)")
+    }
   }
 }

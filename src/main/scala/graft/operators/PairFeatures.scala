@@ -20,9 +20,11 @@ object PairFeatures {
    * joins shuffle by id which is the layout the verify stage already used.
    */
   def enrich(pairs: DataFrame, docs: DataFrame,
-      idCol: String = "id", textCol: String = "text"): DataFrame = {
+      idCol: String = "id", textCol: String = "text",
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Tokenize.default): DataFrame = {
     val d = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-    val toks = (c: org.apache.spark.sql.Column) => array_distinct(Tokenize.default(c))
+    val toks = (c: org.apache.spark.sql.Column) => array_distinct(tokenizer(c))
     pairs.select(col("id1"), col("id2"))
       .join(d.select(col("id").as("id1"), col("t").as("t1")), "id1")
       .join(d.select(col("id").as("id2"), col("t").as("t2")), "id2")
@@ -63,12 +65,14 @@ object PairFeatures {
    */
   def tfidfCosine(pairs: DataFrame, docs: DataFrame,
       idCol: String = "id", textCol: String = "text",
-      docCount: Option[Long] = None): DataFrame = {
+      docCount: Option[Long] = None,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Tokenize.default): DataFrame = {
     val d = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
     // idf needs the corpus size; callers that already know it (a pipeline
     // that counted at ingest) pass it and skip this count job
     val n = docCount.getOrElse(d.count())
-    val toks = d.select(col("id"), explode(Tokenize.default(col("t"))).as("tok"))
+    val toks = d.select(col("id"), explode(tokenizer(col("t"))).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = toks.join(dfreq, "tok")

@@ -113,4 +113,32 @@ class TextSignaturesSpec extends AnyFunSuite {
     assert(ws.shingles.toSeq == al.shingles.toSeq)
     assert(ws.simhash != al.simhash)
   }
+
+  test("tokenizer registry is OPEN: registered kernels + dotted-path classes work") {
+    // register a custom kernel under a short name (the reference's
+    // pluggable-tokenizer extension point, field_config_parser.py:23-26)
+    Tokenize.registerKernel("everychar", cs => new Tokenize.SpanIterator {
+      private var i = 0
+      def hasNext: Boolean = i < cs.length
+      def nextSpan(): Long = { val s = (i.toLong << 32) | (i + 1); i += 1; s }
+    })
+    val cs = TextSignatures.normalize("ab c")
+    val it = Tokenize.kernel("everychar")(cs)
+    var n = 0
+    while (it.hasNext) { it.nextSpan(); n += 1 }
+    assert(n == 4) // "ab c" -> 4 chars incl the space
+    // a registered kernel is usable straight from the config
+    val sig = TextSignatures.compute("hello world of tokens",
+      graft.config.GraftConfig.default.copy(tokenizer = "everychar"))
+    assert(sig.nTokens == "hello world of tokens".length)
+    // unknown names list what IS available
+    val err = intercept[IllegalArgumentException](Tokenize.kernel("neural2"))
+    assert(err.getMessage.contains("everychar") && err.getMessage.contains("whitespace"))
+    // dotted path loads a class reflectively (reference _import_function parity)
+    val viaClass = Tokenize.kernel("graft.functions.TestKernelTokenizer")(cs)
+    var m = 0
+    while (viaClass.hasNext) { viaClass.nextSpan(); m += 1 }
+    assert(m == 2) // whitespace spans: "ab", "c"
+    intercept[IllegalArgumentException](Tokenize.kernel("no.such.Class"))
+  }
 }

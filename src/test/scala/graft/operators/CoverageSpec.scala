@@ -54,4 +54,28 @@ class CoverageSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(got == Map("alpha" -> 0L, "bravo" -> 1L, "charlie" -> 2L, "delta" -> 3L))
   }
+
+  test("Column-level tokenizer injection: stats jobs accept any tokenizer") {
+    import spark.implicits._
+    val d = Seq((1L, "aa bb-cc"), (2L, "bb dd")).toDF("id", "text")
+    // default whitespace: tokens aa, bb-cc, bb, dd
+    val defVocab = StatsJobs.vocabCount(d, "text")
+      .collect().map(_.getString(0)).toSet
+    assert(defVocab == Set("aa", "bb-cc", "bb", "dd"))
+    // injected tokenizer: split on non-letters (the reference's pluggable
+    // tokenizer reaching the stats pass, utils.py:179/203)
+    val injected = StatsJobs.vocabCount(d, "text",
+      c => split(lower(c), "[^a-z]+"))
+      .collect().map(_.getString(0)).toSet
+    assert(injected == Set("aa", "bb", "cc", "dd"))
+    val msl = StatsJobs.maxStrLen(d, "text", multitoken = true,
+      c => split(c, "[^a-zA-Z]+")).head().getLong(0)
+    assert(msl == 2)
+    // pair features take the same injection point
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val feat = PairFeatures.enrich(pairs, d, tokenizer = c => split(lower(c), "[^a-z]+"))
+      .head()
+    // tokens {aa,bb,cc} vs {bb,dd}: jaccard 1/4
+    assert(feat.getAs[Double]("token_jaccard") == 0.25)
+  }
 }
