@@ -184,27 +184,38 @@ object SuffixArrays {
     val lcps = lcp(s, sa)
     val rmq = new Rmq(lcps)
     val ids = docs.map(_._1).toArray
-    // best span per doc pair: length + start offset in the concatenated text
-    val best = scala.collection.mutable.HashMap.empty[(Long, Long), (Int, Int)]
-    val lastSeen = scala.collection.mutable.HashMap.empty[Int, Int]
+    val nDocs = docs.size
+    // best span per doc pair, keyed by PACKED MEMBER INDICES (di*nDocs+dj,
+    // di < dj by id order) into flat int arrays — the boxed
+    // HashMap[(Long,Long),(Int,Int)] form allocated two tuples per
+    // candidate update across ~10^5 updates/group. lastSeen likewise.
+    val bestLen = new Array[Int](nDocs * nDocs)
+    val bestStart = new Array[Int](nDocs * nDocs)
+    val lastSeen = new Array[Int](nDocs)
+    var nPairs = 0
     var i = 1
     while (i < sa.length) {
       if (lcps(i) >= minLen) {
         // run of suffixes sharing >= minLen prefixes: SA rows [i-1 .. runEnd]
-        lastSeen.clear()
+        java.util.Arrays.fill(lastSeen, -1)
         lastSeen(docOf(sa(i - 1))) = i - 1
         while (i < sa.length && lcps(i) >= minLen) {
           val di = docOf(sa(i))
-          if (best.size < maxPairsPerGroup) {
-            lastSeen.foreachEntry { (dj, j) =>
-              if (dj != di) {
+          if (nPairs < maxPairsPerGroup) {
+            var dj = 0
+            while (dj < nDocs) {
+              val j = lastSeen(dj)
+              if (j >= 0 && dj != di) {
                 // exact pair span = min lcp over the pair's own SA interval
                 val len = rmq.min(j + 1, i)
-                val k = if (ids(di) < ids(dj)) (ids(di), ids(dj))
-                  else (ids(dj), ids(di))
-                if (k._1 != k._2 && len > best.getOrElse(k, (0, 0))._1)
-                  best(k) = (len, sa(i))
+                val key = if (ids(di) < ids(dj)) di * nDocs + dj else dj * nDocs + di
+                if (ids(di) != ids(dj) && len > bestLen(key)) {
+                  if (bestLen(key) == 0) nPairs += 1
+                  bestLen(key) = len
+                  bestStart(key) = sa(i)
+                }
               }
+              dj += 1
             }
           }
           lastSeen(di) = i
@@ -212,11 +223,19 @@ object SuffixArrays {
         }
       } else i += 1
     }
-    best.iterator.map { case ((a, b), (len, start)) =>
-      val chars = new Array[Char](len)
-      var j = 0
-      while (j < len) { chars(j) = (s(start + j) - 1).toChar; j += 1 }
-      SpanPair(a, b, len, new String(chars))
-    }.toSeq.sortBy(p => (p.id1, p.id2))
+    val out = Seq.newBuilder[SpanPair]
+    var key = 0
+    while (key < bestLen.length) {
+      val len = bestLen(key)
+      if (len > 0) {
+        val start = bestStart(key)
+        val chars = new Array[Char](len)
+        var j = 0
+        while (j < len) { chars(j) = (s(start + j) - 1).toChar; j += 1 }
+        out += SpanPair(ids(key / nDocs), ids(key % nDocs), len, new String(chars))
+      }
+      key += 1
+    }
+    out.result().sortBy(p => (p.id1, p.id2))
   }
 }
