@@ -31,10 +31,13 @@ object SimilarityExpressions {
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Agreement fraction over PACKED 8-bit minhash lanes (8 per long) —
-    * the narrow tier-1 payload (TextSignatures.Sig.minhash8). */
-  def minhashAgreementPacked(a: Column, b: Column): Column =
+    * the narrow tier-1 payload (TextSignatures.Sig.minhash8). `numPerm`
+    * bounds the lane scan: the final long's unused lanes are zero-padded
+    * on BOTH sides and would otherwise count as phantom agreements when
+    * numPerm is not a multiple of 8. */
+  def minhashAgreementPacked(a: Column, b: Column, numPerm: Int): Column =
     ExpressionUtils.column(MinHashAgreementPacked(
-      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), numPerm))
 
   /** Exact k-shingle Jaccard recomputed from the two TEXTS (normalize →
     * shingle-hash, same kernel as TextSignatures) — bitwise-identical to
@@ -258,8 +261,8 @@ object TextShingleJaccard {
   }
 }
 
-case class MinHashAgreementPacked(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class MinHashAgreementPacked(left: Expression, right: Expression,
+    numPerm: Int) extends BinaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt.isInstanceOf[ArrayType] &&
       dt.asInstanceOf[ArrayType].elementType == LongType
@@ -274,11 +277,11 @@ case class MinHashAgreementPacked(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     MinHashAgreementPacked.compute(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], numPerm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.expressions.MinHashAgreementPacked.compute($a, $b)")
+      s"graft.expressions.MinHashAgreementPacked.compute($a, $b, $numPerm)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashAgreementPacked =
@@ -286,21 +289,18 @@ case class MinHashAgreementPacked(left: Expression, right: Expression)
 }
 
 object MinHashAgreementPacked {
-  /** Fraction of equal 8-bit lanes of two equal-length packed arrays. */
-  def compute(a: ArrayData, b: ArrayData): Double = {
+  /** Fraction of equal 8-bit lanes over the first numPerm lanes. */
+  def compute(a: ArrayData, b: ArrayData, numPerm: Int): Double = {
     val n = a.numElements()
-    if (n == 0 || n != b.numElements()) return 0.0
+    if (n == 0 || n != b.numElements() || numPerm <= 0) return 0.0
+    val lanes = math.min(numPerm, n * 8)
     var i = 0
     var eq = 0
-    while (i < n) {
-      val z = a.getLong(i) ^ b.getLong(i)
-      var lane = 0
-      while (lane < 8) {
-        if (((z >>> (lane * 8)) & 0xFFL) == 0L) eq += 1
-        lane += 1
-      }
+    while (i < lanes) {
+      val z = a.getLong(i >>> 3) ^ b.getLong(i >>> 3)
+      if (((z >>> ((i & 7) * 8)) & 0xFFL) == 0L) eq += 1
       i += 1
     }
-    eq.toDouble / (n * 8)
+    eq.toDouble / lanes
   }
 }

@@ -188,7 +188,13 @@ object SuffixArrays {
     // best span per doc pair, keyed by PACKED MEMBER INDICES (di*nDocs+dj,
     // di < dj by id order) into flat int arrays — the boxed
     // HashMap[(Long,Long),(Int,Int)] form allocated two tuples per
-    // candidate update across ~10^5 updates/group. lastSeen likewise.
+    // candidate update across ~10^5 updates/group. The flat form is
+    // quadratic in group size, so it is bounded: in-engine groups are
+    // capped at SuffixSpans' groupCap (64), and beyond 1024 members
+    // (2 x 4 MB) a map-based fallback keeps the public API safe for
+    // arbitrary group sizes instead of overflowing nDocs*nDocs.
+    if (nDocs > 1024) return dupSpansMapped(docs, minLen, maxPairsPerGroup,
+      s, docOf, sa, lcps, rmq, ids)
     val bestLen = new Array[Int](nDocs * nDocs)
     val bestStart = new Array[Int](nDocs * nDocs)
     val lastSeen = new Array[Int](nDocs)
@@ -237,5 +243,44 @@ object SuffixArrays {
       key += 1
     }
     out.result().sortBy(p => (p.id1, p.id2))
+  }
+
+  /** Fallback for groups too large for the flat-array accumulator: same
+    * algorithm over a hash map bounded by maxPairsPerGroup. */
+  private def dupSpansMapped(docs: Seq[(Long, String)], minLen: Int,
+      maxPairsPerGroup: Int, s: Array[Int], docOf: Array[Int],
+      sa: Array[Int], lcps: Array[Int], rmq: Rmq,
+      ids: Array[Long]): Seq[SpanPair] = {
+    val best = scala.collection.mutable.HashMap.empty[(Long, Long), (Int, Int)]
+    val lastSeen = scala.collection.mutable.HashMap.empty[Int, Int]
+    var i = 1
+    while (i < sa.length) {
+      if (lcps(i) >= minLen) {
+        lastSeen.clear()
+        lastSeen(docOf(sa(i - 1))) = i - 1
+        while (i < sa.length && lcps(i) >= minLen) {
+          val di = docOf(sa(i))
+          if (best.size < maxPairsPerGroup) {
+            lastSeen.foreachEntry { (dj, j) =>
+              if (dj != di) {
+                val len = rmq.min(j + 1, i)
+                val k = if (ids(di) < ids(dj)) (ids(di), ids(dj))
+                  else (ids(dj), ids(di))
+                if (k._1 != k._2 && len > best.getOrElse(k, (0, 0))._1)
+                  best(k) = (len, sa(i))
+              }
+            }
+          }
+          lastSeen(di) = i
+          i += 1
+        }
+      } else i += 1
+    }
+    best.iterator.map { case ((a, b), (len, start)) =>
+      val chars = new Array[Char](len)
+      var j = 0
+      while (j < len) { chars(j) = (s(start + j) - 1).toChar; j += 1 }
+      SpanPair(a, b, len, new String(chars))
+    }.toSeq.sortBy(p => (p.id1, p.id2))
   }
 }

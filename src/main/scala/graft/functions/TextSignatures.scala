@@ -117,7 +117,18 @@ object TextSignatures {
   /** Full signature bundle; single pass over the text. emitShingles = false
     * skips materializing the sorted shingle array (set size still counted) —
     * for pipelines whose verify tier recomputes Jaccard from text. */
-  def compute(text: String, cfg: GraftConfig, emitShingles: Boolean = true): Sig = {
+  def compute(text: String, cfg: GraftConfig, emitShingles: Boolean = true): Sig =
+    compute(text, cfg, emitShingles, Tokenize.kernel(cfg.tokenizer))
+
+  /** Variant taking a pre-resolved tokenizer: callers that run on executors
+    * (the signature UDF) resolve the kernel ONCE on the driver and capture
+    * the function in the task closure — name-registry entries registered on
+    * the driver then work on a real cluster, where the executor-side
+    * registry only contains the built-ins. (Registered kernels must be
+    * serializable — Scala lambdas are; the closure cleaner fails fast on
+    * the driver otherwise.) */
+  def compute(text: String, cfg: GraftConfig, emitShingles: Boolean,
+      kernelTok: Tokenize.KernelTokenizer): Sig = {
     if (text == null) return empty
     val cs = normalize(text)
     if (cs.length < cfg.shingleK) return empty
@@ -168,7 +179,7 @@ object TextSignatures {
     //     default "whitespace" reproduces the normalize-split exactly. ---
     val votes = new Array[Int](64)
     var nTokens = 0
-    val spans = Tokenize.kernel(cfg.tokenizer)(cs)
+    val spans = kernelTok(cs)
     while (spans.hasNext) {
       val span = spans.nextSpan()
       val th = hashChars(cs, Tokenize.spanStart(span), Tokenize.spanEnd(span))

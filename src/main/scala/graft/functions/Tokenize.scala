@@ -115,12 +115,17 @@ object Tokenize {
     val found = kernels.get(name)
     if (found != null) found
     else if (name.contains(".")) {
-      try Class.forName(name).getDeclaredConstructor().newInstance()
-        .asInstanceOf[KernelTokenizer]
-      catch {
-        case e: Exception => throw new IllegalArgumentException(
-          s"cannot load tokenizer class '$name': $e")
-      }
+      // cache the reflective load: the kernel is resolved once per driver
+      // (captured into the signature UDF closure) but kernel() must also
+      // stay cheap if called per document
+      kernels.computeIfAbsent(name, { n =>
+        try Class.forName(n).getDeclaredConstructor().newInstance()
+          .asInstanceOf[KernelTokenizer]
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"cannot load tokenizer class '$n': $e")
+        }
+      })
     } else {
       val names = {
         val it = kernels.keys()

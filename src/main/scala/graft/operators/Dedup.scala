@@ -86,8 +86,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = CandidateGen.minhashStage(sigs, cfg)
     val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    JaccardVerify.verify(cands.candidates, sigs, cfg, texts = Some(texts))
+    val out = JaccardVerify.verify(cands.candidates, sigs, cfg, texts = Some(texts))
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      // eager: release the signature cache instead of leaking it (see
+      // SetSimJoin.jaccardSelfJoin)
+      .localCheckpoint()
+    sigs.unpersist()
+    out
   }
 
   /** SimHash Hamming-ball near-dup pairs (token-level semantic near-dup). */

@@ -86,7 +86,7 @@ object JaccardVerify {
       if (packed) sigs.select(col("id"), col("minhash8").as("s"))
       else sigs.select(col("id"), col("minhash").as("s"))
     val agreement: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
-      if (packed) SimilarityExpressions.minhashAgreementPacked
+      if (packed) (a, b) => SimilarityExpressions.minhashAgreementPacked(a, b, cfg.numPerm)
       else SimilarityExpressions.minhashAgreement
     // short-circuit: with the default knob (0 = off) never run the count job
     val bcast = broadcastMaxDocs > 0 && !sigs.isStreaming &&

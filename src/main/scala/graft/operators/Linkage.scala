@@ -43,7 +43,7 @@ object Linkage {
     val texts = records.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"))
     val verified = JaccardVerify.verify(cands, sigs, cfg, texts = Some(texts))
-    verified
+    val out = verified
       .join(src.select(col("id").as("id1"), col("source").as("src1")), "id1")
       .join(src.select(col("id").as("id2"), col("source").as("src2")), "id2")
       .filter(col("src1") =!= col("src2"))
@@ -53,5 +53,10 @@ object Linkage {
         when(col("src1") === leftSource, col("id2")).otherwise(col("id1")).as("right_id"),
         col("jaccard"))
       .filter(col("left_id").isNotNull && col("right_id").isNotNull)
+      // eager: release the signature cache instead of leaking it (see
+      // SetSimJoin.jaccardSelfJoin)
+      .localCheckpoint()
+    sigs.unpersist()
+    out
   }
 }

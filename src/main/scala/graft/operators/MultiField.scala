@@ -283,9 +283,15 @@ object MultiField {
             lit(0.0)) * sp.weight).as("wj"))
     }.reduce(_ unionByName _)
 
-    contrib.groupBy("id1", "id2")
+    val out = contrib.groupBy("id1", "id2")
       .agg(round(sum(col("wj")) / totalW, 6).as("score"))
       .filter(col("score") >= threshold)
+      // eager: release the per-field gram caches + candidate cache instead
+      // of leaking them for the session (see SetSimJoin.jaccardSelfJoin)
+      .localCheckpoint()
+    fieldGrams.foreach(_.unpersist())
+    cands.unpersist()
+    out
   }
 
   /**

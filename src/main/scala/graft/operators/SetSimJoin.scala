@@ -39,6 +39,20 @@ object SetSimJoin {
    * (byte-compatible with the brute-force oracle form).
    */
   def jaccardSelfJoin(d0: DataFrame, threshold: Double): DataFrame = {
+    val (out, scratch) = jaccardSelfJoinLazy(d0, threshold)
+    // EAGER: materialize the (small) pair result, then release the scratch
+    // caches — returning the lazy plan would leak two MEMORY_AND_DISK
+    // tables per call for the session lifetime (library callers have no
+    // clearCache hook; same pattern as SuffixSpans)
+    val checkpointed = out.localCheckpoint()
+    scratch.foreach(_.unpersist())
+    checkpointed
+  }
+
+  /** Lazy plan + the internally persisted scratch tables — for plan-shape
+    * tests and callers that manage the cache lifecycle themselves. */
+  private[operators] def jaccardSelfJoinLazy(
+      d0: DataFrame, threshold: Double): (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0 && threshold <= 1, "0 < threshold <= 1")
     // Tokens ride as 64-bit hashes end to end (the engine-wide convention):
     // distinct/intersection counts over the hashes equal the counts over
@@ -99,13 +113,14 @@ object SetSimJoin {
 
     // exact verify: same |∩|/|∪| integers as the brute-force string form
     // (modulo 64-bit hash collisions), so the rounded value is identical
-    cands
+    val out = cands
       .join(d.select(col("id").as("id1"), col("h").as("h1")), "id1")
       .join(d.select(col("id").as("id2"), col("h").as("h2")), "id2")
       .withColumn("jaccard",
         graft.expressions.SimilarityExpressions.jaccardSorted(col("h1"), col("h2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    (out, Seq(d, pfx))
   }
 
   /**
@@ -156,7 +171,10 @@ object SetSimJoin {
     }
     val perTok = tagged.groupBy("tbl", "tok").agg(cnts.head, cnts.tail: _*)
     val sums = allTs.indices.map { i =>
-      sum((col(s"c$i") * (col(s"c$i") - 1) / 2).cast("decimal(38,0)")).as(s"s$i")
+      // cast BEFORE multiplying: a boilerplate token with prefix-df above
+      // ~3e9 would overflow c*(c-1) in LongType and poison the plan cost
+      val c = col(s"c$i").cast("decimal(38,0)")
+      sum(c * (c - 1) / 2).as(s"s$i")
     }
     val rows = perTok.groupBy("tbl").agg(sums.head, sums.tail: _*).collect()
     val byTbl = rows.map(r => r.getString(0) ->

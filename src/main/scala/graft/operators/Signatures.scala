@@ -28,15 +28,21 @@ object Signatures {
       n_shingles: Int,
       n_tokens: Int)
 
-  /** Column-level signature UDF (one pass; see TextSignatures.compute). */
-  def sigUdf(cfg: GraftConfig, emitShingles: Boolean = true) = udf { (text: String) =>
-    val s = TextSignatures.compute(text, cfg, emitShingles)
+  /** Column-level signature UDF (one pass; see TextSignatures.compute).
+    * The tokenizer is resolved HERE, on the driver, and captured in the
+    * closure — a name registered via Tokenize.registerKernel on the driver
+    * would not exist in executor JVMs' registries on a real cluster. */
+  def sigUdf(cfg: GraftConfig, emitShingles: Boolean = true) = {
+    val kernelTok = graft.functions.Tokenize.kernel(cfg.tokenizer)
+    udf { (text: String) =>
+    val s = TextSignatures.compute(text, cfg, emitShingles, kernelTok)
     SigRow(s.shingles,
       if (emitShingles) s.minhash else Array.emptyLongArray, // narrow mode:
       // tier-1 runs on the packed lanes; the full 1KB signature is never
       // stored or shuffled
       s.minhash8, s.bandKeys, s.simhash, s.simhashChunks,
       s.spanKeys, s.nShingles, s.nTokens)
+    }
   }
 
   /**

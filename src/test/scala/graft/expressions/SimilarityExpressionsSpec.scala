@@ -70,7 +70,7 @@ class SimilarityExpressionsSpec extends SparkSuite {
     }.toDF("a", "b", "pa", "pb")
     val got = df.select(
       SimilarityExpressions.minhashAgreement($"a", $"b"),
-      SimilarityExpressions.minhashAgreementPacked($"pa", $"pb")).collect()
+      SimilarityExpressions.minhashAgreementPacked($"pa", $"pb", cfg.numPerm)).collect()
     got.foreach { r =>
       val full = r.getDouble(0); val packed = r.getDouble(1)
       // packed can only OVER-estimate (8-bit lane false-equals, p=1/256
@@ -81,8 +81,21 @@ class SimilarityExpressionsSpec extends SparkSuite {
     // identical signatures agree exactly at 1.0
     val self = pairs.head._1
     val one = Seq((self.minhash8, self.minhash8)).toDF("pa", "pb")
-      .select(SimilarityExpressions.minhashAgreementPacked($"pa", $"pb"))
+      .select(SimilarityExpressions.minhashAgreementPacked($"pa", $"pb", cfg.numPerm))
       .head().getDouble(0)
     assert(one == 1.0)
+    // numPerm NOT a multiple of 8: the padded tail lanes are excluded —
+    // disjoint 100-perm signatures must score 0.0, not 4/104
+    val cfg100 = cfg.copy(numPerm = 100, bands = 25, rowsPerBand = 4)
+    val x = graft.functions.TextSignatures.compute("alpha beta gamma delta epsilon", cfg100)
+    val y = graft.functions.TextSignatures.compute("zz qq ww ee rr tt yy uu", cfg100)
+    val frac = Seq((x.minhash8, y.minhash8)).toDF("pa", "pb")
+      .select(SimilarityExpressions.minhashAgreementPacked($"pa", $"pb", 100))
+      .head().getDouble(0)
+    val fullAgree = x.minhash.zip(y.minhash).count { case (p, q) => p == q }
+    // packed-over-100-lanes can only exceed full agreement via real 8-bit
+    // collisions, never via the 4 phantom padding lanes
+    assert(frac * 100 >= fullAgree && frac * 100 <= fullAgree + 3,
+      s"frac=$frac full=$fullAgree")
   }
 }

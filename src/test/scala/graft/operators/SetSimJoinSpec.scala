@@ -62,7 +62,9 @@ class SetSimJoinSpec extends SparkSuite {
 
   test("plan has no cartesian / nested-loop join") {
     val d = corpus(30)
-    val plan = SetSimJoin.jaccardSelfJoin(d, 0.5)
+    // lazy variant: the public form eagerly checkpoints (cache hygiene),
+    // which would hide the join plan from inspection
+    val plan = SetSimJoin.jaccardSelfJoinLazy(d, 0.5)._1
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "cartesian in plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in plan")
