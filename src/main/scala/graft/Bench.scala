@@ -61,6 +61,21 @@ object Bench {
     (nPages / secs, n)
   }
 
+  /** Pairs-only docs/sec (reference `predict_pairs` work shape: signatures →
+    * blocking → tier-1 estimate verify; no CC, no assignment) on an nPages
+    * corpus (fresh, uncached). The apples-to-apples slice against
+    * BASELINE.md's 10,600 rec/s HNSW-search number. */
+  def pairsDocsPerSec(spark: SparkSession, nPages: Int): (Double, Long) = {
+    val (pages, _) = PageCorpus.generate(spark, nPages, SparkEntry.cfg.seed)
+    val df = pages.toDF()
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    val t0 = System.nanoTime()
+    val n = new DedupPipeline(spark, SparkEntry.cfg).runPairs(df).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    df.unpersist()
+    (nPages / secs, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -107,21 +122,33 @@ object Bench {
     // one more defensive sample than the per-query timings
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val nPages = math.max(2000, (nDocs * 16).toInt)
+    val flagshipReps = math.max(reps, 3)
     val docsPerSec =
-      (1 to math.max(reps, 3)).map(_ => pipelineDocsPerSec(spark, nPages)._1).max
+      (1 to flagshipReps).map(_ => pipelineDocsPerSec(spark, nPages)._1).max
+    // pairs-only slice (reference predict_pairs work shape), same corpus size
+    val pairsPerSec =
+      (1 to flagshipReps).map(_ => pairsDocsPerSec(spark, nPages)._1).max
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     val dps = f"$docsPerSec%.1f"
+    val pps = f"$pairsPerSec%.1f"
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // methodology is IN the JSON (advisor finding: cross-round comparisons
+    // must not silently mix methodologies — r1/r2 were single-shot, no
+    // warmup, flagship at 8x; schema 2 = warmup + min-of-reps per query,
+    // max-of-flagshipReps flagship at 16x, q_ann_top3 excluded by design)
+    val method =
+      s"""{"schema":2,"reps":$reps,"per_query_stat":"min","flagship_reps":$flagshipReps,"flagship_stat":"max","corpus_multiplier":16,"warmup":true,"excluded":["q_ann_top3"]}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","pipeline_pages":$nPages,"pipeline_docs_per_sec":$dps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","pipeline_pages":$nPages,"pipeline_docs_per_sec":$dps,"pairs_docs_per_sec":$pps,"method":$method}"""
     println(json)
     // sbt wraps stdout in [info] prefixes which breaks the driver's JSON
     // parse — also write the raw line to a plain file it can pick up
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH/result.json"), json + "\n")
+    SparkEntry.releaseCorpus(spark)
     spark.stop()
   }
 }

@@ -44,7 +44,12 @@ object SparkEntry {
     * it back from that parquet. */
   private val corpusCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), (DataFrame, DataFrame)]()
-  private def corpus(s: SparkSession, n: Int = 2000): (DataFrame, DataFrame) =
+  private[graft] def corpus(s: SparkSession, n: Int = 2000): (DataFrame, DataFrame) = {
+    // lazy reaping: entries of stopped sessions are dead weight (their
+    // cached blocks died with the context) — drop them on every access so
+    // no cached corpus outlives its session even without an explicit release
+    val dead = corpusCache.keySet().iterator()
+    while (dead.hasNext) if (dead.next()._1.sparkContext.isStopped) dead.remove()
     corpusCache.computeIfAbsent((s, n), { _ =>
       val (pages, truth) = PageCorpus.generate(s, n, cfg.seed)
       val pDir = s"$auxDir/corpus_pages_$n"
@@ -53,6 +58,27 @@ object SparkEntry {
       truth.toDF().coalesce(1).write.mode("overwrite").parquet(tDir)
       (s.read.parquet(pDir).cache(), s.read.parquet(tDir).cache())
     })
+  }
+
+  /** Unpersist + evict THIS session's cached corpus entries — Verify/Bench
+    * call it at teardown (the cache previously had no release path). */
+  def releaseCorpus(s: SparkSession): Unit = {
+    val it = corpusCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        if (!s.sparkContext.isStopped) {
+          e.getValue._1.unpersist(); e.getValue._2.unpersist()
+        }
+        it.remove()
+      }
+    }
+  }
+  private[graft] def cachedCorpusCount(s: SparkSession): Int = {
+    var n = 0
+    corpusCache.keySet().forEach(k => if (k._1 eq s) n += 1)
+    n
+  }
 
   /**
    * Flagship query (driver smoke-checks rows > 0): the full near-duplicate

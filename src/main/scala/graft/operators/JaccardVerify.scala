@@ -73,15 +73,34 @@ object JaccardVerify {
    * SURVIVING pair — is a few microseconds against tens of KB of saved
    * memory/shuffle traffic, the resource that actually caps N→4N scaling.
    */
+  /**
+   * Estimate-mode contract (estimate = true, tier 1 IS the output): the
+   * returned `jaccard` is the UNBIASED numPerm-lane MinHash estimator when
+   * the bundle carries the full 64-bit `minhash` column (the default — all
+   * in-repo wide bundles do); only when the bundle carries NOTHING but the
+   * packed lanes, or the caller opts in via `packedEstimate = true` (the 8×
+   * narrower 100 TB prefilter-grade mode), is the 8-bit estimator used —
+   * whose false-equal p = 1/256 per disagreeing lane biases the estimate UP
+   * by ≤ ~(1−j)/256 ≈ 0.004, one-sided. In two-tier mode (estimate = false)
+   * tier 1 always prefers the packed lanes — the bias is inside the margin
+   * and tier 2 is exact regardless, so only the prefilter sees it.
+   */
   def verify(candidates: DataFrame, sigs: DataFrame, cfg: GraftConfig,
-      estimate: Boolean = false, texts: Option[DataFrame] = None): DataFrame = {
+      estimate: Boolean = false, texts: Option[DataFrame] = None,
+      packedEstimate: Boolean = false): DataFrame = {
     val t = cfg.simThreshold
-    // tier-1 payload: prefer the packed 8-bit lanes (8x smaller; equality
-    // per position is all the estimator uses — false-equal p = 1/256 only
-    // biases the estimate up ~0.004, inside the margin, and tier 2 is
-    // exact regardless); fall back to the full signature for callers that
-    // computed wide bundles
-    val packed = sigs.columns.contains("minhash8")
+    // narrow bundles (Signatures.compute emitShingles = false) carry no
+    // shingle arrays: exact tier-2 scoring then REQUIRES the texts side —
+    // fail fast with the coupling spelled out instead of an analysis-time
+    // missing-column error (advisor finding)
+    require(estimate || texts.nonEmpty || sigs.columns.contains("shingles"),
+      "exact verify on a narrow signature bundle (emitShingles = false) " +
+        "needs texts = Some(df(id, text)) — the shingle sets are not stored; " +
+        "pass texts, or compute signatures with emitShingles = true")
+    val hasPacked = sigs.columns.contains("minhash8")
+    val hasFull = sigs.columns.contains("minhash")
+    // tier-1 payload selection per the estimate-mode contract above
+    val packed = hasPacked && (!estimate || packedEstimate || !hasFull)
     val minhashSide =
       if (packed) sigs.select(col("id"), col("minhash8").as("s"))
       else sigs.select(col("id"), col("minhash").as("s"))

@@ -215,6 +215,21 @@ object MultiField {
 
   def dedupPairs(records: DataFrame, specs: Seq[FieldSpec], threshold: Double,
       idCol: String = "id"): DataFrame = {
+    val (plan, caches) = dedupPairsPlan(records, specs, threshold, idCol)
+    // eager: release the per-field gram caches + candidate cache instead
+    // of leaking them for the session (see SetSimJoin.jaccardSelfJoin)
+    val out = plan.localCheckpoint()
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** The un-checkpointed join plan + the caches it holds — plan-shape tests
+    * assert on THIS (the public method's localCheckpoint collapses
+    * executedPlan to a checkpoint-RDD scan, which would make a no-cartesian
+    * assertion vacuous); callers must unpersist the returned caches after
+    * materializing. */
+  private[graft] def dedupPairsPlan(records: DataFrame, specs: Seq[FieldSpec],
+      threshold: Double, idCol: String = "id"): (DataFrame, Seq[DataFrame]) = {
     require(specs.nonEmpty, "at least one field spec required")
     val totalW = specs.map(_.weight).sum
 
@@ -286,12 +301,7 @@ object MultiField {
     val out = contrib.groupBy("id1", "id2")
       .agg(round(sum(col("wj")) / totalW, 6).as("score"))
       .filter(col("score") >= threshold)
-      // eager: release the per-field gram caches + candidate cache instead
-      // of leaking them for the session (see SetSimJoin.jaccardSelfJoin)
-      .localCheckpoint()
-    fieldGrams.foreach(_.unpersist())
-    cands.unpersist()
-    out
+    (out, fieldGrams :+ cands)
   }
 
   /**

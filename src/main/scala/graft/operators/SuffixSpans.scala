@@ -30,16 +30,36 @@ object SuffixSpans {
 
   final case class SpanRow(id1: Long, id2: Long, span_len: Int, span: String)
 
+  /** spans + the truncation log (stage, bucket, bucket_n, policy) — one row
+    * per fingerprint group capped at groupCap, matching the shape of
+    * BucketJoin.Result.oversizeLog so callers can union it into the
+    * pipeline's oversize sink. */
+  final case class Result(spans: DataFrame, oversizeLog: DataFrame)
+
   /**
-   * docs(id, text) → (id1, id2, span_len) for every pair sharing an exact
-   * normalized substring >= cfg.minSpanLen. groupCap bounds degenerate
+   * docs(id, text) → (id1, id2, span_len, span) for every pair sharing an
+   * exact normalized substring >= cfg.minSpanLen. groupCap bounds degenerate
    * fingerprint groups (identical boilerplate across millions of pages):
    * larger groups are truncated to the first groupCap members by id
    * (deterministic) — star-connectivity for those is still provided by the
-   * MinHash stage; truncation is logged by the caller via group sizes.
+   * MinHash stage. Truncated groups are REPORTED in
+   * [[spansWithLog]].oversizeLog (north rule: no silent caps); this
+   * spans-only form is for callers that sink the log elsewhere or accept
+   * the documented cap.
    */
   def spans(docs: DataFrame, cfg: GraftConfig, groupCap: Int = 64,
-      idCol: String = "id", textCol: String = "text"): DataFrame = {
+      idCol: String = "id", textCol: String = "text"): DataFrame =
+    impl(docs, cfg, groupCap, idCol, textCol, computeLog = false).spans
+
+  /** See [[spans]]; additionally emits the group-cap truncation log
+    * (eagerly materialized — it is tiny — so it survives the internal cache
+    * release). */
+  def spansWithLog(docs: DataFrame, cfg: GraftConfig, groupCap: Int = 64,
+      idCol: String = "id", textCol: String = "text"): Result =
+    impl(docs, cfg, groupCap, idCol, textCol, computeLog = true)
+
+  private def impl(docs: DataFrame, cfg: GraftConfig, groupCap: Int,
+      idCol: String, textCol: String, computeLog: Boolean): Result = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -66,6 +86,23 @@ object SuffixSpans {
       .partitionBy("bucket").orderBy("id")
     val capped = memberships
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= groupCap)
+
+    // truncation log (north rule: no silent caps): one row per capped
+    // fingerprint group, same shape as BucketJoin's oversize log. Computed
+    // only when requested (spansWithLog) — it is one extra window-count job
+    // over the ids-only membership table, eagerly materialized so it stays
+    // valid after the normalized-docs cache below is released.
+    val oversize =
+      if (!computeLog)
+        spark.emptyDataFrame
+          .select(lit("").as("stage"), lit(0L).as("bucket"),
+            lit(0L).as("bucket_n"), lit("").as("policy")).limit(0)
+      else memberships.groupBy("bucket")
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > groupCap)
+        .select(lit("suffix_span_groups").as("stage"), col("bucket"),
+          col("bucket_n"), lit("Truncate").as("policy"))
+        .localCheckpoint()
 
     // Many fingerprints of the same near-dup doc group produce the SAME
     // member set (every shared boilerplate yields dozens of fingerprints) —
@@ -101,6 +138,6 @@ object SuffixSpans {
         col("m.span_len").as("span_len"), col("m.span").as("span"))
       .localCheckpoint()
     d.unpersist()
-    out
+    Result(out, oversize)
   }
 }

@@ -81,6 +81,36 @@ final class DedupPipeline(
     Result(sigs, candStage, verified, assignments)
   }
 
+  /**
+   * Pairs-only mode — the work-equivalent of the reference's `predict_pairs`
+   * console path (entity_embed/cli.py:429-524): embed each record
+   * (here: deterministic signatures), search the index (here: the 3 blocking
+   * stages), emit scored duplicate pairs at the threshold. NO clustering, NO
+   * assignment writeback — exactly the record → pairs slice the reference's
+   * 10,600 rec/s baseline measures.
+   *
+   * Scoring tier matches the reference's single-score shape: tier-1 MinHash
+   * estimate as the final score (`estimate = true`, packed 8-bit lanes — the
+   * 100 TB prefilter-grade mode; one-sided bias documented in
+   * JaccardVerify). Pass `exact = true` for the two-tier exact-Jaccard
+   * variant (what `run` uses).
+   */
+  def runPairs(pages: DataFrame, exact: Boolean = false): DataFrame = {
+    val input =
+      if (hostSalts > 1 && pages.columns.contains("url"))
+        Salting.saltPagesByHost(pages, hostSalts)
+      else pages
+    val sigs = Signatures.compute(input, cfg, emitShingles = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = CandidateGen.all(sigs, cfg).candidates
+    val out = JaccardVerify.verify(cands, sigs, cfg, estimate = !exact,
+      texts = if (exact) Some(input.select(col("id"), col("text"))) else None,
+      packedEstimate = !exact)
+      .localCheckpoint() // eager: release the signature cache below
+    sigs.unpersist()
+    out
+  }
+
   /** Run a stage, or load it from checkpoint if already completed.
     *
     * Without a checkpoint dir, a stage with `persist = true` is cached

@@ -134,10 +134,15 @@ class MultiFieldSpec extends SparkSuite {
 
   test("plan: no cartesian product in the multi-field join") {
     val d = corpus(30)
-    val plan = MultiField.dedupPairs(d, specs, 0.5)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"))
-    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // lazy variant: the public form eagerly checkpoints (cache hygiene),
+    // which collapses executedPlan to a checkpoint-RDD scan and would make
+    // this assertion vacuous (advisor finding)
+    val (lazyPlan, caches) = MultiField.dedupPairsPlan(d, specs, 0.5)
+    try {
+      val plan = lazyPlan.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"))
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+    } finally caches.foreach(_.unpersist())
   }
 
   test("bindStats: reference stats pass — even max_str_len + vocab binding (S4)") {
