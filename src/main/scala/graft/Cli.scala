@@ -1,0 +1,164 @@
+package graft
+
+import graft.config.GraftConfig
+import graft.operators._
+import graft.pipeline.DedupPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Config-driven, spark-submit-able entry point — the engine analog of the
+ * reference's primary UX, the `entity_embed_predict` console script
+ * (entity_embed/cli.py:177-524, setup.py:36-39): point it at an input table
+ * and get pairs / clusters / metrics out, no code required.
+ *
+ * {{{
+ * spark-submit --class graft.Cli graft.jar \
+ *   --mode dedup --input /data/pages.parquet --output /out \
+ *   [--threshold 0.6] [--field-config fields.json] [--estimate] \
+ *   [--id-col id] [--text-col text] [--cluster-col cluster] \
+ *   [--source-col source --left-source left]           # linkage mode
+ * }}}
+ *
+ * Outputs (ParquetTables under --output; an Iceberg deployment swaps the
+ * TableIO implementation):
+ *   pairs/    (id1, id2, score)      — verified duplicate / linkage pairs
+ *   clusters/ (id, cluster)          — CC assignment, every input record
+ *                                      (dedup modes only)
+ *   metrics/  one PairMetrics row    — when --cluster-col names a
+ *                                      ground-truth column in the input
+ *
+ * Modes:
+ *  - dedup, no field config: the flagship pipeline (signatures → 3-stage
+ *    blocking → two-tier verify; --estimate keeps tier 1 only) over
+ *    (--id-col, --text-col).
+ *  - dedup, --field-config: multi-field ER — the JSON is parsed with the
+ *    reference's field_config semantics (MultiField.parseConfigs), stats
+ *    are bound (bindStats), and pairs come from the selectivity-planned
+ *    exact weighted join (MultiField.dedupPairs) at --threshold.
+ *  - linkage: cross-source pairs only (--source-col / --left-source),
+ *    oriented (left_id, right_id) — reference ANNLinkageIndex semantics.
+ */
+object Cli {
+
+  final case class Args(
+      mode: String = "dedup",
+      input: String = "",
+      inputFormat: String = "",
+      output: String = "",
+      fieldConfig: Option[String] = None,
+      threshold: Option[Double] = None,
+      idCol: String = "id",
+      textCol: String = "text",
+      clusterCol: Option[String] = None,
+      sourceCol: String = "source",
+      leftSource: String = "left",
+      estimate: Boolean = false)
+
+  def parseArgs(argv: Array[String]): Args = {
+    def loop(a: Args, rest: List[String]): Args = rest match {
+      case Nil => a
+      case "--mode" :: v :: t => loop(a.copy(mode = v), t)
+      case "--input" :: v :: t => loop(a.copy(input = v), t)
+      case "--input-format" :: v :: t => loop(a.copy(inputFormat = v), t)
+      case "--output" :: v :: t => loop(a.copy(output = v), t)
+      case "--field-config" :: v :: t => loop(a.copy(fieldConfig = Some(v)), t)
+      case "--threshold" :: v :: t => loop(a.copy(threshold = Some(v.toDouble)), t)
+      case "--id-col" :: v :: t => loop(a.copy(idCol = v), t)
+      case "--text-col" :: v :: t => loop(a.copy(textCol = v), t)
+      case "--cluster-col" :: v :: t => loop(a.copy(clusterCol = Some(v)), t)
+      case "--source-col" :: v :: t => loop(a.copy(sourceCol = v), t)
+      case "--left-source" :: v :: t => loop(a.copy(leftSource = v), t)
+      case "--estimate" :: t => loop(a.copy(estimate = true), t)
+      case x :: _ => throw new IllegalArgumentException(s"unknown argument: $x")
+    }
+    val a = loop(Args(), argv.toList)
+    require(a.input.nonEmpty, "--input is required")
+    require(a.output.nonEmpty, "--output is required")
+    require(Set("dedup", "linkage")(a.mode), s"unknown --mode ${a.mode}")
+    a
+  }
+
+  private def readInput(spark: SparkSession, a: Args): DataFrame = {
+    val fmt =
+      if (a.inputFormat.nonEmpty) a.inputFormat
+      else if (a.input.endsWith(".csv")) "csv" else "parquet"
+    fmt match {
+      // CSV goes through the reference-coercion scan (S1): strings
+      // everywhere, long id (+ long cluster col when present), ANSI raise
+      case "csv" => graft.io.PairIO.readRecords(spark, a.input, a.clusterCol)
+      case "parquet" => spark.read.parquet(a.input)
+      case f => throw new IllegalArgumentException(s"unknown --input-format $f")
+    }
+  }
+
+  /** Run with an existing session (tests call this; main wraps it). */
+  def run(spark: SparkSession, a: Args): Unit = {
+    val cfg0 = GraftConfig.default
+    val cfg = a.threshold.fold(cfg0)(t => cfg0.copy(simThreshold = t))
+    val io = new graft.io.ParquetTables(spark, a.output)
+    val raw = readInput(spark, a)
+    require(raw.columns.contains(a.idCol), s"input needs column '${a.idCol}'")
+
+    val (pairs, clustered) = a.mode match {
+      case "linkage" =>
+        require(raw.columns.contains(a.sourceCol),
+          s"linkage mode needs --source-col '${a.sourceCol}' in the input")
+        val recs = raw.withColumn(a.idCol, col(a.idCol).cast("long"))
+        val p = Linkage.linkagePairs(recs, cfg, a.leftSource,
+            a.idCol, a.textCol, a.sourceCol)
+          .select(col("left_id").as("id1"), col("right_id").as("id2"),
+            col("jaccard").as("score"))
+        (p, false)
+      case "dedup" => a.fieldConfig match {
+        case Some(path) =>
+          val json = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+          val specs = MultiField.bindStats(raw, MultiField.parseConfigs(json))
+          val p = MultiField.dedupPairs(
+            raw.withColumn(a.idCol, col(a.idCol).cast("long")), specs,
+            cfg.simThreshold, a.idCol)
+          (p, true)
+        case None =>
+          val recs = raw.select(col(a.idCol).cast("long").as("id"),
+            col(a.textCol).as("text"))
+          val p = new DedupPipeline(spark, cfg).runPairs(recs, exact = !a.estimate)
+            .select(col("id1"), col("id2"), col("jaccard").as("score"))
+          (p, true)
+      }
+    }
+    io.write(pairs, "pairs")
+    io.markComplete("pairs")
+    val written = io.read("pairs")
+
+    if (clustered) {
+      val comps = ConnectedComponents.components(written.select("id1", "id2"))
+      val assign = Clustering.assignAll(
+        raw.select(col(a.idCol).cast("long").as("id")), comps,
+        normalizeIds = false)
+      io.write(assign, "clusters")
+      io.markComplete("clusters")
+    }
+
+    a.clusterCol.filter(raw.columns.contains) foreach { cc =>
+      val truth = raw.select(col(a.idCol).cast("long").as("id"),
+        col(cc).cast("long").as("cluster"))
+      val pos = PairAlgebra.clusterToPairs(truth)
+      val m = Metrics.evaluate(written.select("id1", "id2"), pos,
+        raw.count(), cfg.simThreshold)
+      import spark.implicits._
+      io.write(Seq(m).toDS().toDF(), "metrics")
+      io.markComplete("metrics")
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, a) finally spark.stop()
+  }
+}

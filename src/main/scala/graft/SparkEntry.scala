@@ -213,6 +213,8 @@ object SparkEntry {
       Ann.bruteForceTopK(emb(s, dir), 3).orderBy("id", "rank")),
     "q_cosine_pairs" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(emb(s, dir), 0.4).orderBy("id1", "id2")),
+    "q_cosine_lsh_pairs" -> ((s, dir) =>
+      Ann.lshCosinePairs(emb(s, dir), 0.4, seed = cfg.seed).orderBy("id1", "id2")),
     "q_pair_features" -> ((s, dir) => {
       val pairs = Dedup.tokenJaccardPairs(docs(s, dir), ngramThreshold, ngram = 3)
         .persist()
@@ -606,6 +608,21 @@ object SparkEntry {
              list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) c
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          WHERE c >= 0.4 ORDER BY 1, 2""",
+    // ONE-SIDED: every emitted pair's exact cosine is recomputed from
+    // `embeddings` and must equal the emitted value at >= threshold; floor
+    // 55 vs the 59-row brute-force result pins recall (measured 59/59 with
+    // the tuned LSH at seed 42)
+    "q_cosine_lsh_pairs" ->
+      s"""WITH r AS (SELECT * FROM read_parquet('$auxDir/out/q_cosine_lsh_pairs/*.parquet'))
+          SELECT r.id1, r.id2, r.cosine FROM r
+          JOIN embeddings a ON a.vec_id = r.id1
+          JOIN embeddings b ON b.vec_id = r.id2
+          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+              b.embedding::DOUBLE[]), 6) = r.cosine
+            AND r.cosine >= 0.4 AND r.id1 < r.id2
+          UNION ALL SELECT -1::BIGINT, -1::BIGINT, -1.0::DOUBLE
+            WHERE (SELECT count(*) FROM r) < 55
+          ORDER BY 1, 2""",
     "q_pair_features" ->
       s"""WITH t AS (SELECT doc_id, text,
             string_split_regex(lower(trim(text)), '\\s+') tk FROM documents),

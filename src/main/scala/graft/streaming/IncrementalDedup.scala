@@ -67,4 +67,54 @@ object IncrementalDedup {
       .filter(col("new_id") =!= col("existing_id"))
       .select(col("new_id"), col("existing_id"))
   }
+
+  /** Static side for the SCORED path: the skew-capped band memberships of
+    * [[staticBandTable]] with the packed tier-1 signature (minhash8) riding
+    * along each membership row, so the stream-side verify is a plain
+    * stream-static equi-join — no second lookup table. ~numPerm bytes per
+    * membership row of extra payload. */
+  def staticScoredTable(pages: DataFrame, cfg: GraftConfig): DataFrame = {
+    val m = Signatures.compute(pages, cfg, emitShingles = false)
+      .select(col("id"), col("minhash8"), explode(col("band_keys")).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    m.withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bucket_min", min("id").over(w))
+      .filter(col("bucket_n") <= cfg.maxBandBucket || col("id") === col("bucket_min"))
+      .select(col("id"), col("bucket"), col("minhash8"))
+  }
+
+  /**
+   * Streaming VERIFY tier: micro-batches emit SCORED pairs
+   * (new_id, existing_id, est), not raw band collisions — the streaming
+   * analog of JaccardVerify's tier 1. Each new page is signed once, its
+   * band keys joined against [[staticScoredTable]], and every collision is
+   * scored with the packed MinHash agreement estimator INSIDE the join
+   * stage; pairs below simThreshold − margin die streaming in the join
+   * task. margin defaults to the batch tier's 3.5σ, so streamed pairs are a
+   * superset of what the batch layer's exact verify would keep for the same
+   * snapshot (the batch fold-in stays the exact/clustering authority —
+   * lambda shape unchanged).
+   *
+   * A pair colliding in k band buckets is emitted k times (identical est);
+   * streaming dedup would need unbounded state, and the batch fold-in
+   * dedupes anyway — use `.dropDuplicates` on a bounded window downstream
+   * if the sink needs uniqueness.
+   */
+  def scoredCandidates(streamingPages: DataFrame, staticScored: DataFrame,
+      cfg: GraftConfig, margin: Option[Double] = None): DataFrame = {
+    val t = cfg.simThreshold
+    val m = margin.getOrElse(3.5 * math.sqrt(t * (1 - t) / cfg.numPerm))
+    val newBands = Signatures.compute(streamingPages, cfg, emitShingles = false)
+      .select(col("id").as("new_id"), col("minhash8").as("mh_new"),
+        explode(col("band_keys")).as("bucket"))
+    newBands
+      .join(staticScored.select(col("id").as("existing_id"), col("bucket"),
+        col("minhash8").as("mh_old")), "bucket")
+      .filter(col("new_id") =!= col("existing_id"))
+      .select(col("new_id"), col("existing_id"),
+        graft.expressions.SimilarityExpressions
+          .minhashAgreementPacked(col("mh_new"), col("mh_old"), cfg.numPerm)
+          .as("est"))
+      .filter(col("est") >= t - m)
+  }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+/** End-to-end CLI contract (reference entity_embed_predict shape,
+  * cli.py:177-524): invoke run() against a temp CSV, assert the written
+  * pairs / clusters / metrics tables. */
+class CliSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeCsv(dir: String, header: String, rows: Seq[String]): String = {
+    val f = java.nio.file.Paths.get(dir, "in.csv")
+    Files.writeString(f, (header +: rows).mkString("\n"))
+    f.toString
+  }
+
+  test("dedup mode end-to-end: pairs + clusters + metrics written and correct") {
+    val in = tmp("cli_in")
+    val out = tmp("cli_out")
+    val dupText = "the quick brown fox jumps over the lazy dog and keeps " +
+      "going for quite a while longer than expected"
+    val csv = writeCsv(in, "id,text,cluster", Seq(
+      s"""1,"$dupText",10""",
+      s"""2,"$dupText",10""",
+      s"""3,"a completely different document about query engines",11""",
+      s"""4,"another unrelated page mentioning shuffles and joins",12"""))
+    Cli.run(spark, Cli.parseArgs(Array(
+      "--mode", "dedup", "--input", csv, "--output", out,
+      "--cluster-col", "cluster")))
+
+    val pairs = spark.read.parquet(s"$out/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    val clusters = spark.read.parquet(s"$out/clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters.keySet == Set(1L, 2L, 3L, 4L))
+    assert(clusters(1L) == clusters(2L))
+    assert(Set(clusters(1L), clusters(3L), clusters(4L)).size == 3)
+    val m = spark.read.parquet(s"$out/metrics").collect().head
+    assert(m.getAs[Long]("truePositives") == 1L)
+    assert(m.getAs[Double]("precision") == 1.0)
+    assert(m.getAs[Double]("recall") == 1.0)
+  }
+
+  test("dedup mode with field config: weighted multi-field pairs") {
+    val in = tmp("cli_in2")
+    val out = tmp("cli_out2")
+    val csv = writeCsv(in, "id,title,body", Seq(
+      """5,"acme anvil deluxe model","heavy duty anvil for all purposes"""",
+      """6,"acme anvil deluxe model","heavy duty anvil for every purpose"""",
+      """7,"completely different product","nothing shared with the others here""""))
+    val fc = java.nio.file.Paths.get(in, "fields.json")
+    Files.writeString(fc,
+      """{"title": {"sig_type": "syntactic", "weight": 2.0},
+         "body": {"sig_type": "semantic", "weight": 1.0}}""")
+    Cli.run(spark, Cli.parseArgs(Array(
+      "--mode", "dedup", "--input", csv, "--output", out,
+      "--field-config", fc.toString, "--threshold", "0.6")))
+    val pairs = spark.read.parquet(s"$out/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((5L, 6L)))
+    assert(Files.exists(java.nio.file.Paths.get(out, "clusters")))
+  }
+
+  test("linkage mode: cross-source oriented pairs only") {
+    val in = tmp("cli_in3")
+    val out = tmp("cli_out3")
+    val shared = "identical catalog description shared across both sources " +
+      "word for word with enough length to shingle"
+    val csv = writeCsv(in, "id,text,source", Seq(
+      s"""20,"$shared",left""",
+      s"""21,"$shared",right""",
+      s"""22,"some other text entirely about nothing in particular",left"""))
+    Cli.run(spark, Cli.parseArgs(Array(
+      "--mode", "linkage", "--input", csv, "--output", out)))
+    val pairs = spark.read.parquet(s"$out/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((20L, 21L))) // oriented: left id first
+    assert(!Files.exists(java.nio.file.Paths.get(out, "clusters")))
+  }
+
+  test("argument validation") {
+    intercept[IllegalArgumentException](Cli.parseArgs(Array("--mode", "dedup")))
+    intercept[IllegalArgumentException](
+      Cli.parseArgs(Array("--bogus", "x", "--input", "i", "--output", "o")))
+    intercept[IllegalArgumentException](Cli.parseArgs(
+      Array("--mode", "wat", "--input", "i", "--output", "o")))
+  }
+}

@@ -46,6 +46,51 @@ class IncrementalDedupSpec extends SparkSuite {
     bands.unpersist()
   }
 
+  test("streaming verify tier: scored pairs ⊇ batch-verified pairs for the same snapshot") {
+    // snapshot: 500 static pages + 100 newer pages arriving as a stream
+    val (pages, _) = PageCorpus.generateLocal(600, cfg.seed)
+    val all = pages.toSeq
+    val (staticPart, streamPart) = (all.take(500), all.drop(500))
+    val staticDf = spark.createDataset(staticPart).toDF()
+    val scoredTable = IncrementalDedup.staticScoredTable(staticDf, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val stream = MemoryStream[(Long, String)](spark)
+    val streamDf = stream.toDF().select(col("_1").as("id"), col("_2").as("text"))
+    val scored = IncrementalDedup.scoredCandidates(streamDf, scoredTable, cfg)
+    val q = scored.writeStream.format("memory").queryName("inc_scored")
+      .outputMode("append").start()
+    stream.addData(streamPart.map(p => (p.id, p.text)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("inc_scored").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch authority: exact two-tier verify over the full snapshot,
+    // restricted to (new, existing) cross pairs
+    val unionDf = spark.createDataset(all).toDF()
+    val newIds = streamPart.map(_.id).toSet
+    val batch = graft.operators.Dedup
+      .minhashDupPairs(unionDf, cfg, idCol = "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (newIds(a) && !newIds(b)) Some((a, b))
+        else if (newIds(b) && !newIds(a)) Some((b, a)) else None
+      }.toSet
+    assert(batch.nonEmpty, "fixture must have cross near-dups")
+    val missed = batch -- streamed
+    assert(missed.isEmpty,
+      s"streamed scored pairs must cover batch-verified pairs; missed $missed")
+    // and the tier actually filters: scored stream emits fewer rows than
+    // raw band collisions
+    val rawQ = IncrementalDedup.candidates(
+      spark.createDataset(streamPart).toDF(),
+      IncrementalDedup.staticBandTable(staticDf, cfg), cfg).count()
+    assert(spark.table("inc_scored").count() < rawQ,
+      "estimate filter must prune below-threshold collisions")
+    scoredTable.unpersist()
+  }
+
   test("stream-static band join is skew-capped: hot static band emits hub-only pairs") {
     // static corpus: 100 pages sharing one boilerplate band bucket would
     // multiply every matching micro-batch row x100 uncapped. With the cap
