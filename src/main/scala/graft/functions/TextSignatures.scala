@@ -41,6 +41,22 @@ object TextSignatures {
 
   val empty: Sig = Sig(Array.empty, Array.empty, Array.empty, Array.empty, 0L, Array.empty, Array.empty, 0, 0)
 
+  /** Which signature families to compute. At 10^12 documents the kernel is
+    * the hottest function in the engine — a consumer that only runs one
+    * blocking stage (e.g. MinHash-only dedup, the streaming band table)
+    * should not pay for the SimHash token vote or the winnowing pass.
+    * Disabled parts come back as empty arrays / zeros, which the
+    * explode-based blocking skips naturally. */
+  final case class SigParts(
+      minhash: Boolean = true,
+      simhash: Boolean = true,
+      spans: Boolean = true)
+  object SigParts {
+    val all: SigParts = SigParts()
+    val minhashOnly: SigParts = SigParts(simhash = false, spans = false)
+    val simhashOnly: SigParts = SigParts(minhash = false, spans = false)
+  }
+
   /** Permutation parameters derived deterministically from the config seed. */
   final class Perms(cfg: GraftConfig) {
     val a: Array[Long] = stream(cfg.seed, cfg.numPerm).map(x => (x & MersennePrime) | 1L)
@@ -128,23 +144,31 @@ object TextSignatures {
     * serializable — Scala lambdas are; the closure cleaner fails fast on
     * the driver otherwise.) */
   def compute(text: String, cfg: GraftConfig, emitShingles: Boolean,
-      kernelTok: Tokenize.KernelTokenizer): Sig = {
+      kernelTok: Tokenize.KernelTokenizer): Sig =
+    compute(text, cfg, emitShingles, kernelTok, SigParts.all)
+
+  def compute(text: String, cfg: GraftConfig, emitShingles: Boolean,
+      kernelTok: Tokenize.KernelTokenizer, parts: SigParts): Sig = {
     if (text == null) return empty
     val cs = normalize(text)
     if (cs.length < cfg.shingleK) return empty
     val perms = permsFor(cfg)
 
-    // --- distinct shingle hashes + streaming MinHash ---
+    // --- distinct shingle hashes + streaming MinHash (the 128-perm inner
+    //     loop — the kernel's dominant cost — runs only when the MinHash
+    //     part is wanted; the dedup + count always runs: nShingles is part
+    //     of every bundle) ---
     val k = cfg.shingleK
     val set = scratch.get().shingles
     set.clear()
-    val sig = new Array[Long](cfg.numPerm)
-    java.util.Arrays.fill(sig, Long.MaxValue)
+    val wantMinhash = parts.minhash
+    val sig = if (wantMinhash) new Array[Long](cfg.numPerm) else Array.emptyLongArray
+    if (wantMinhash) java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
     val last = cs.length - k
     while (i <= last) {
       val h = hashChars(cs, i, i + k)
-      if (set.add(h)) {
+      if (set.add(h) && wantMinhash) {
         val x = h & MersennePrime
         var p = 0
         while (p < cfg.numPerm) {
@@ -160,63 +184,74 @@ object TextSignatures {
 
     // --- LSH band keys: hash r consecutive sig rows per band, mix band idx
     //     so band 3's bucket space never collides with band 7's ---
-    val bandKeys = new Array[Long](cfg.bands)
-    var bnd = 0
-    while (bnd < cfg.bands) {
-      var h = mix64(bnd.toLong + cfg.seed)
-      var r = 0
-      while (r < cfg.rowsPerBand) {
-        h = mix2(h, sig(bnd * cfg.rowsPerBand + r))
-        r += 1
+    val bandKeys = if (!wantMinhash) Array.emptyLongArray else {
+      val bk = new Array[Long](cfg.bands)
+      var bnd = 0
+      while (bnd < cfg.bands) {
+        var h = mix64(bnd.toLong + cfg.seed)
+        var r = 0
+        while (r < cfg.rowsPerBand) {
+          h = mix2(h, sig(bnd * cfg.rowsPerBand + r))
+          r += 1
+        }
+        bk(bnd) = h
+        bnd += 1
       }
-      bandKeys(bnd) = h
-      bnd += 1
+      bk
     }
 
     // --- SimHash over word tokens. The tokenizer is the kernel's injection
     //     point (reference's pluggable tokenizer, field_config_parser.py:
     //     23-26): cfg.tokenizer names a registered span tokenizer; the
     //     default "whitespace" reproduces the normalize-split exactly. ---
-    val votes = new Array[Int](64)
+    var simhash = 0L
     var nTokens = 0
-    val spans = kernelTok(cs)
-    while (spans.hasNext) {
-      val span = spans.nextSpan()
-      val th = hashChars(cs, Tokenize.spanStart(span), Tokenize.spanEnd(span))
+    var chunks = Array.emptyLongArray
+    if (parts.simhash) {
+      val votes = new Array[Int](64)
+      val spans = kernelTok(cs)
+      while (spans.hasNext) {
+        val span = spans.nextSpan()
+        val th = hashChars(cs, Tokenize.spanStart(span), Tokenize.spanEnd(span))
+        var bit = 0
+        while (bit < 64) {
+          if (((th >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+        nTokens += 1
+      }
       var bit = 0
       while (bit < 64) {
-        if (((th >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        if (votes(bit) > 0) simhash |= (1L << bit)
         bit += 1
       }
-      nTokens += 1
-    }
-    var simhash = 0L
-    var bit = 0
-    while (bit < 64) {
-      if (votes(bit) > 0) simhash |= (1L << bit)
-      bit += 1
-    }
-    val chunkBits = 64 / cfg.simHashChunks
-    val chunkMask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
-    val chunks = new Array[Long](cfg.simHashChunks)
-    var c = 0
-    while (c < cfg.simHashChunks) {
-      // mix chunk idx so chunk key spaces are disjoint
-      chunks(c) = mix2(c.toLong + 0xc0ffee, (simhash >>> (c * chunkBits)) & chunkMask)
-      c += 1
+      val chunkBits = 64 / cfg.simHashChunks
+      val chunkMask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+      chunks = new Array[Long](cfg.simHashChunks)
+      var c = 0
+      while (c < cfg.simHashChunks) {
+        // mix chunk idx so chunk key spaces are disjoint
+        chunks(c) = mix2(c.toLong + 0xc0ffee, (simhash >>> (c * chunkBits)) & chunkMask)
+        c += 1
+      }
     }
 
     // --- winnowing fingerprints (Schleimer et al., MOSS): rolling g-gram
     //     hashes, keep the min of each w-window; guarantees any exact common
     //     substring of length >= w + g - 1 shares a selected fingerprint ---
-    val spanKeys = winnow(cs, cfg.spanGramLen, cfg.winnowWindow)
+    val spanKeys =
+      if (parts.spans) winnow(cs, cfg.spanGramLen, cfg.winnowWindow)
+      else Array.emptyLongArray
 
     // packed 8-bit minhash lanes (see Sig.minhash8)
-    val packed = new Array[Long]((cfg.numPerm + 7) / 8)
-    var p = 0
-    while (p < cfg.numPerm) {
-      packed(p >>> 3) |= (sig(p) & 0xFFL) << ((p & 7) * 8)
-      p += 1
+    val packed = if (!wantMinhash) Array.emptyLongArray else {
+      val pk = new Array[Long]((cfg.numPerm + 7) / 8)
+      var p = 0
+      while (p < cfg.numPerm) {
+        pk(p >>> 3) |= (sig(p) & 0xFFL) << ((p & 7) * 8)
+        p += 1
+      }
+      pk
     }
 
     Sig(shingles, sig, packed, bandKeys, if (nTokens == 0) 0L else simhash,

@@ -82,7 +82,8 @@ object Dedup {
     // persisted: consumed by the banding stage and twice by the verify
     // joins; narrow bundle (no shingle arrays — exact verify recomputes
     // from text, bitwise-identical)
-    val sigs = Signatures.compute(docs, cfg, idCol, textCol, emitShingles = false)
+    val sigs = Signatures.compute(docs, cfg, idCol, textCol, emitShingles = false,
+        parts = graft.functions.TextSignatures.SigParts.minhashOnly)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = CandidateGen.minhashStage(sigs, cfg)
     val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
@@ -98,7 +99,8 @@ object Dedup {
   /** SimHash Hamming-ball near-dup pairs (token-level semantic near-dup). */
   def simhashDupPairs(docs: DataFrame, cfg: GraftConfig,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = Signatures.compute(docs, cfg, idCol, textCol, emitShingles = false)
+    val sigs = Signatures.compute(docs, cfg, idCol, textCol, emitShingles = false,
+      parts = graft.functions.TextSignatures.SigParts.simhashOnly)
     val cands = CandidateGen.simhashStage(sigs, cfg)
     val fp = sigs.select(col("id"), col("simhash"))
     cands.candidates

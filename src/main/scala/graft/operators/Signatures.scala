@@ -32,10 +32,11 @@ object Signatures {
     * The tokenizer is resolved HERE, on the driver, and captured in the
     * closure — a name registered via Tokenize.registerKernel on the driver
     * would not exist in executor JVMs' registries on a real cluster. */
-  def sigUdf(cfg: GraftConfig, emitShingles: Boolean = true) = {
+  def sigUdf(cfg: GraftConfig, emitShingles: Boolean = true,
+      parts: TextSignatures.SigParts = TextSignatures.SigParts.all) = {
     val kernelTok = graft.functions.Tokenize.kernel(cfg.tokenizer)
     udf { (text: String) =>
-    val s = TextSignatures.compute(text, cfg, emitShingles, kernelTok)
+    val s = TextSignatures.compute(text, cfg, emitShingles, kernelTok, parts)
     SigRow(s.shingles,
       if (emitShingles) s.minhash else Array.emptyLongArray, // narrow mode:
       // tier-1 runs on the packed lanes; the full 1KB signature is never
@@ -55,11 +56,16 @@ object Signatures {
    * verify tier (JaccardVerify texts=...) never needs — the signature
    * bundle shrinks ~7x, which is most of the stage's persist/cache traffic.
    */
+  /** `parts` limits which signature families the kernel computes (see
+    * TextSignatures.SigParts) — single-stage consumers (MinHash-only dedup,
+    * the streaming band tables) skip the SimHash token vote and the
+    * winnowing pass entirely. */
   def compute(df: DataFrame, cfg: GraftConfig,
       idCol: String = "id", textCol: String = "text",
-      emitShingles: Boolean = true): DataFrame = {
+      emitShingles: Boolean = true,
+      parts: TextSignatures.SigParts = TextSignatures.SigParts.all): DataFrame = {
     val out = df.select(col(idCol).as("id"),
-        sigUdf(cfg, emitShingles)(col(textCol)).as("sig"))
+        sigUdf(cfg, emitShingles, parts)(col(textCol)).as("sig"))
       .select(col("id"), col("sig.*"))
     if (emitShingles) out else out.drop("shingles").drop("minhash")
   }

@@ -95,14 +95,28 @@ final class DedupPipeline(
    * JaccardVerify). Pass `exact = true` for the two-tier exact-Jaccard
    * variant (what `run` uses).
    */
-  def runPairs(pages: DataFrame, exact: Boolean = false): DataFrame = {
+  /** Stage flags select the blocking paths; the signature kernel computes
+    * ONLY the families the enabled stages consume (SigParts — at 10^12 docs
+    * you do not pay the SimHash token vote or the winnowing pass for a
+    * MinHash-only job). `useMinhash = true, useSimhash = false,
+    * useSpans = false` is the reference-predict work shape exactly: ONE
+    * index per record (the reference searches one HNSW graph; the 3-stage
+    * union is this engine's higher-recall extension). */
+  def runPairs(pages: DataFrame, exact: Boolean = false,
+      useMinhash: Boolean = true, useSimhash: Boolean = true,
+      useSpans: Boolean = true): DataFrame = {
     val input =
       if (hostSalts > 1 && pages.columns.contains("url"))
         Salting.saltPagesByHost(pages, hostSalts)
       else pages
-    val sigs = Signatures.compute(input, cfg, emitShingles = false)
+    // tier-1 scoring always needs the MinHash part for minhash8
+    val parts = graft.functions.TextSignatures.SigParts(
+      minhash = true, simhash = useSimhash, spans = useSpans)
+    val sigs = Signatures.compute(input, cfg, emitShingles = false, parts = parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = CandidateGen.all(sigs, cfg).candidates
+    val cands = CandidateGen.all(sigs, cfg,
+      useMinhash = useMinhash, useSimhash = useSimhash, useSpans = useSpans)
+      .candidates
     val out = JaccardVerify.verify(cands, sigs, cfg, estimate = !exact,
       texts = if (exact) Some(input.select(col("id"), col("text"))) else None,
       packedEstimate = !exact)

@@ -35,7 +35,8 @@ object IncrementalDedup {
     * the hub), and the capped buckets are available via [[oversizeLog]] —
     * no silent drops. */
   def staticBandTable(pages: DataFrame, cfg: GraftConfig): DataFrame = {
-    val m = Signatures.compute(pages, cfg, emitShingles = false)
+    val m = Signatures.compute(pages, cfg, emitShingles = false,
+      parts = graft.functions.TextSignatures.SigParts.minhashOnly)
       .select(col("id"), explode(col("band_keys")).as("bucket"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
     m.withColumn("bucket_n", count(lit(1)).over(w))
@@ -47,7 +48,8 @@ object IncrementalDedup {
   /** Capped static bands (stage, bucket, bucket_n, policy) — the streaming
     * analog of BucketJoin's oversize log. */
   def oversizeLog(pages: DataFrame, cfg: GraftConfig): DataFrame = {
-    val m = Signatures.compute(pages, cfg, emitShingles = false)
+    val m = Signatures.compute(pages, cfg, emitShingles = false,
+      parts = graft.functions.TextSignatures.SigParts.minhashOnly)
       .select(col("id"), explode(col("band_keys")).as("bucket"))
     m.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cfg.maxBandBucket)
@@ -61,7 +63,8 @@ object IncrementalDedup {
    */
   def candidates(streamingPages: DataFrame, staticBands: DataFrame,
       cfg: GraftConfig): DataFrame = {
-    val newBands = Signatures.compute(streamingPages, cfg, emitShingles = false)
+    val newBands = Signatures.compute(streamingPages, cfg, emitShingles = false,
+      parts = graft.functions.TextSignatures.SigParts.minhashOnly)
       .select(col("id").as("new_id"), explode(col("band_keys")).as("bucket"))
     newBands.join(staticBands.withColumnRenamed("id", "existing_id"), "bucket")
       .filter(col("new_id") =!= col("existing_id"))
@@ -74,7 +77,8 @@ object IncrementalDedup {
     * stream-static equi-join — no second lookup table. ~numPerm bytes per
     * membership row of extra payload. */
   def staticScoredTable(pages: DataFrame, cfg: GraftConfig): DataFrame = {
-    val m = Signatures.compute(pages, cfg, emitShingles = false)
+    val m = Signatures.compute(pages, cfg, emitShingles = false,
+      parts = graft.functions.TextSignatures.SigParts.minhashOnly)
       .select(col("id"), col("minhash8"), explode(col("band_keys")).as("bucket"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
     m.withColumn("bucket_n", count(lit(1)).over(w))
@@ -104,7 +108,8 @@ object IncrementalDedup {
       cfg: GraftConfig, margin: Option[Double] = None): DataFrame = {
     val t = cfg.simThreshold
     val m = margin.getOrElse(3.5 * math.sqrt(t * (1 - t) / cfg.numPerm))
-    val newBands = Signatures.compute(streamingPages, cfg, emitShingles = false)
+    val newBands = Signatures.compute(streamingPages, cfg, emitShingles = false,
+      parts = graft.functions.TextSignatures.SigParts.minhashOnly)
       .select(col("id").as("new_id"), col("minhash8").as("mh_new"),
         explode(col("band_keys")).as("bucket"))
     newBands

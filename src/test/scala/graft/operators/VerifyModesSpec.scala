@@ -83,6 +83,50 @@ class VerifyModesSpec extends SparkSuite {
       spans.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
   }
 
+  test("runPairs minhash-only exact mode == minhashDupPairs (same stage, same result)") {
+    val (pages, _) = graft.corpus.PageCorpus.generateLocal(300, cfg.seed)
+    val df = spark.createDataset(pages.toSeq).toDF()
+    val viaPipeline = new graft.pipeline.DedupPipeline(spark, cfg)
+      .runPairs(df, exact = true, useSimhash = false, useSpans = false)
+      .select("id1", "id2", "jaccard")
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.minhashDupPairs(df, cfg, idCol = "id")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaPipeline == direct)
+    assert(direct.nonEmpty)
+    // estimate mode on the same slice: scores are tier-1 estimates at >= t,
+    // so every estimate pair is a real band collision scored >= threshold
+    val est = new graft.pipeline.DedupPipeline(spark, cfg)
+      .runPairs(df, useSimhash = false, useSpans = false)
+    assert(est.columns.toSet == Set("id1", "id2", "jaccard", "stage"))
+    assert(est.filter(col("jaccard") < cfg.simThreshold).count() == 0)
+  }
+
+  test("SigParts: disabled families come back empty, enabled ones identical to full") {
+    val docs = toyDocs
+    val full = Signatures.compute(docs, cfg, emitShingles = false).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val mh = Signatures.compute(docs, cfg, emitShingles = false,
+      parts = graft.functions.TextSignatures.SigParts.minhashOnly).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    for ((id, r) <- mh) {
+      assert(r.getAs[scala.collection.Seq[Long]]("band_keys") == full(id).getAs[scala.collection.Seq[Long]]("band_keys"))
+      assert(r.getAs[scala.collection.Seq[Long]]("minhash8") == full(id).getAs[scala.collection.Seq[Long]]("minhash8"))
+      assert(r.getAs[scala.collection.Seq[Long]]("span_keys").isEmpty)
+      assert(r.getAs[scala.collection.Seq[Long]]("simhash_chunks").isEmpty)
+    }
+    val sh = Signatures.compute(docs, cfg, emitShingles = false,
+      parts = graft.functions.TextSignatures.SigParts.simhashOnly).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    for ((id, r) <- sh) {
+      assert(r.getAs[Long]("simhash") == full(id).getAs[Long]("simhash"))
+      assert(r.getAs[scala.collection.Seq[Long]]("simhash_chunks") ==
+        full(id).getAs[scala.collection.Seq[Long]]("simhash_chunks"))
+      assert(r.getAs[scala.collection.Seq[Long]]("band_keys").isEmpty)
+    }
+  }
+
   test("SparkEntry corpus cache has a release path") {
     graft.SparkEntry.corpus(spark, 50)
     assert(graft.SparkEntry.cachedCorpusCount(spark) >= 1)
