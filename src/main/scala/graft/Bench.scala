@@ -26,7 +26,7 @@ object Bench {
     "q_cc_clusters", "q_text_profile", "q_ann_lsh_top3",
     "q_suffix_spans", "q_linkage_pairs", "q_multimodal_features",
     "q_exact_dup_pairs", "q_vocab_count", "q_topk_per_lang",
-    "q_multifield_pairs")
+    "q_multifield_pairs", "q_cosine_lsh_pairs")
 
   def makeSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()

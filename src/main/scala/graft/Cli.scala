@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
  *   --mode dedup --input /data/pages.parquet --output /out \
  *   [--threshold 0.6] [--field-config fields.json] [--estimate] \
  *   [--id-col id] [--text-col text] [--cluster-col cluster] \
+ *   [--checkpoint-dir /ckpt]                  # stage resume (dedup pipeline)
  *   [--source-col source --left-source left]           # linkage mode
  * }}}
  *
@@ -53,7 +54,8 @@ object Cli {
       clusterCol: Option[String] = None,
       sourceCol: String = "source",
       leftSource: String = "left",
-      estimate: Boolean = false)
+      estimate: Boolean = false,
+      checkpointDir: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
@@ -70,6 +72,7 @@ object Cli {
       case "--source-col" :: v :: t => loop(a.copy(sourceCol = v), t)
       case "--left-source" :: v :: t => loop(a.copy(leftSource = v), t)
       case "--estimate" :: t => loop(a.copy(estimate = true), t)
+      case "--checkpoint-dir" :: v :: t => loop(a.copy(checkpointDir = Some(v)), t)
       case x :: _ => throw new IllegalArgumentException(s"unknown argument: $x")
     }
     val a = loop(Args(), argv.toList)
@@ -122,7 +125,10 @@ object Cli {
         case None =>
           val recs = raw.select(col(a.idCol).cast("long").as("id"),
             col(a.textCol).as("text"))
-          val p = new DedupPipeline(spark, cfg).runPairs(recs, exact = !a.estimate)
+          // --checkpoint-dir: stage outputs land there with completion
+          // markers, so a killed job resumes (north-rule resume contract)
+          val p = new DedupPipeline(spark, cfg, checkpointDir = a.checkpointDir)
+            .runPairs(recs, exact = !a.estimate)
             .select(col("id1"), col("id2"), col("jaccard").as("score"))
           (p, true)
       }

@@ -104,7 +104,14 @@ final class DedupPipeline(
     * union is this engine's higher-recall extension). */
   def runPairs(pages: DataFrame, exact: Boolean = false,
       useMinhash: Boolean = true, useSimhash: Boolean = true,
-      useSpans: Boolean = true): DataFrame = {
+      useSpans: Boolean = true): DataFrame =
+    // checkpoint/resume at the output granularity: with a TableIO bound, a
+    // completed `pairs` table short-circuits the whole job (same marker
+    // contract as the staged pipeline)
+    stage("pairs") { runPairsBody(pages, exact, useMinhash, useSimhash, useSpans) }
+
+  private def runPairsBody(pages: DataFrame, exact: Boolean,
+      useMinhash: Boolean, useSimhash: Boolean, useSpans: Boolean): DataFrame = {
     val input =
       if (hostSalts > 1 && pages.columns.contains("url"))
         Salting.saltPagesByHost(pages, hostSalts)

@@ -44,6 +44,28 @@ class ResumeSpec extends SparkSuite {
     assert(a3 == a1)
   }
 
+  test("runPairs is resumable: completed pairs table short-circuits the job") {
+    val dir = Files.createTempDirectory("graft_ckpt_pairs").toString
+    val (pages, _) = PageCorpus.generate(spark, 300, cfg.seed)
+    val df = pages.toDF()
+    val p1 = new DedupPipeline(spark, cfg, Some(dir))
+      .runPairs(df, exact = true)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(new java.io.File(s"$dir/pairs/_GRAFT_OK").exists(), "pairs marker")
+    assert(p1.nonEmpty)
+    // resume proof: poison the checkpoint table; the second run must READ
+    // it (skip recomputation) and therefore return the poisoned content
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((-1L, -2L, 0.9, "minhash")).toDF("id1", "id2", "jaccard", "stage")
+      .write.mode("overwrite").parquet(s"$dir/pairs")
+    new java.io.File(s"$dir/pairs/_GRAFT_OK").createNewFile()
+    val p2 = new DedupPipeline(spark, cfg, Some(dir))
+      .runPairs(df, exact = true)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == Set((-1L, -2L)), "completed pairs stage must be loaded, not recomputed")
+  }
+
   test("checkpointed and un-checkpointed runs agree") {
     val dir = Files.createTempDirectory("graft_ckpt2").toString
     val (pages, _) = PageCorpus.generate(spark, 300, cfg.seed + 1)
