@@ -89,19 +89,43 @@ object Cli {
     fmt match {
       // CSV goes through the reference-coercion scan (S1): strings
       // everywhere, long id (+ long cluster col when present), ANSI raise
-      case "csv" => graft.io.PairIO.readRecords(spark, a.input, a.clusterCol)
+      case "csv" => graft.io.PairIO.readRecords(spark, a.input, a.clusterCol, a.idCol)
       case "parquet" => spark.read.parquet(a.input)
       case f => throw new IllegalArgumentException(s"unknown --input-format $f")
     }
+  }
+
+  /** Fail fast with a clear message when the id column is not integral —
+    * a silent ANSI cast error (or, with ANSI off, null-ed ids and an empty
+    * result) deep in a join is the alternative. The reference renumbers
+    * non-integer ids (Enumerator, benchmarks/base.py:107); so should the
+    * caller (Splits.enumerate / Benchmarks.load). */
+  private def requireIntegralIds(df: DataFrame, idCol: String): Unit = {
+    val bad = df.filter(col(idCol).isNotNull &&
+      expr(s"try_cast(`$idCol` AS LONG)").isNull).count()
+    require(bad == 0, s"$bad rows of '$idCol' are not integral ids — " +
+      "renumber first (graft.operators.Splits.enumerate or graft.io.Benchmarks)")
   }
 
   /** Run with an existing session (tests call this; main wraps it). */
   def run(spark: SparkSession, a: Args): Unit = {
     val cfg0 = GraftConfig.default
     val cfg = a.threshold.fold(cfg0)(t => cfg0.copy(simThreshold = t))
+    // --estimate is only wired into the plain-dedup pipeline path; reject
+    // the other modes loudly instead of silently running exact scoring
+    require(!a.estimate || (a.mode == "dedup" && a.fieldConfig.isEmpty),
+      "--estimate applies only to --mode dedup without --field-config")
     val io = new graft.io.ParquetTables(spark, a.output)
     val raw = readInput(spark, a)
     require(raw.columns.contains(a.idCol), s"input needs column '${a.idCol}'")
+    requireIntegralIds(raw, a.idCol)
+    // config-scoped checkpoint root: a rerun with a different threshold /
+    // estimate / mode can never be served another config's stage outputs.
+    // Input identity remains the caller's contract, as for any checkpoint.
+    val ckpt = a.checkpointDir.map { d =>
+      val h = (a.mode, cfg.simThreshold, a.estimate, a.fieldConfig).##
+      f"$d/cfg_${h & 0xffffffffL}%08x"
+    }
 
     val (pairs, clustered) = a.mode match {
       case "linkage" =>
@@ -125,9 +149,9 @@ object Cli {
         case None =>
           val recs = raw.select(col(a.idCol).cast("long").as("id"),
             col(a.textCol).as("text"))
-          // --checkpoint-dir: stage outputs land there with completion
-          // markers, so a killed job resumes (north-rule resume contract)
-          val p = new DedupPipeline(spark, cfg, checkpointDir = a.checkpointDir)
+          // --checkpoint-dir: stage outputs land there (config-scoped, see
+          // ckpt above) with completion markers, so a killed job resumes
+          val p = new DedupPipeline(spark, cfg, checkpointDir = ckpt)
             .runPairs(recs, exact = !a.estimate)
             .select(col("id1"), col("id2"), col("jaccard").as("score"))
           (p, true)
@@ -149,7 +173,20 @@ object Cli {
     a.clusterCol.filter(raw.columns.contains) foreach { cc =>
       val truth = raw.select(col(a.idCol).cast("long").as("id"),
         col(cc).cast("long").as("cluster"))
-      val pos = PairAlgebra.clusterToPairs(truth)
+      // ground truth must match the mode's pair semantics: linkage emits
+      // ORIENTED (left_id, right_id) pairs and can only ever find
+      // cross-source pairs, so the truth set is the oriented cross-source
+      // expansion (clusterToLinkagePairs) — comparing against the
+      // canonical id1<id2 intra+cross expansion would zero precision
+      // whenever left ids sort above right ids and deflate recall with
+      // pairs linkage is defined to exclude
+      val pos = a.mode match {
+        case "linkage" =>
+          val sources = raw.select(col(a.idCol).cast("long").as("id"),
+            col(a.sourceCol).as("source"))
+          PairAlgebra.clusterToLinkagePairs(truth, sources, a.leftSource)
+        case _ => PairAlgebra.clusterToPairs(truth)
+      }
       val m = Metrics.evaluate(written.select("id1", "id2"), pos,
         raw.count(), cfg.simThreshold)
       import spark.implicits._

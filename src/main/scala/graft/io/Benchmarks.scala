@@ -46,7 +46,14 @@ object Benchmarks {
     val left = PairIO.readRecords(spark, cfg.tableA, cfg.clusterField)
     cfg.tableB match {
       case None =>
-        Dataset(left, None, None, None, 0L)
+        // single-table dataset: labeled pairs (if any) are same-table —
+        // loaded unshifted (offset 0), never silently discarded
+        def split0(p: Option[String]): Option[LabeledSplit] = p.map { path =>
+          val (pos, neg) = PairIO.readLabeledPairs(spark, path)
+          LabeledSplit(pos, neg)
+        }
+        Dataset(left, split0(cfg.trainPairs), split0(cfg.validPairs),
+          split0(cfg.testPairs), 0L)
       case Some(bPath) =>
         val rightRaw = PairIO.readRecords(spark, bPath, cfg.clusterField)
         val offset = cfg.rightIdOffset.getOrElse(

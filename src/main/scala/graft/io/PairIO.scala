@@ -36,10 +36,10 @@ object PairIO {
    * not deep inside a downstream join.
    */
   def readRecords(spark: SparkSession, path: String,
-      clusterField: Option[String] = None): DataFrame = {
+      clusterField: Option[String] = None, idCol: String = "id"): DataFrame = {
     val raw = spark.read.option("header", "true").csv(path)
-    require(raw.columns.contains("id"), "record CSV must have an 'id' column")
-    val withId = raw.withColumn("id", col("id").cast("long"))
+    require(raw.columns.contains(idCol), s"record CSV must have an '$idCol' column")
+    val withId = raw.withColumn(idCol, col(idCol).cast("long"))
     val coerced = clusterField match {
       case Some(cf) if raw.columns.contains(cf) =>
         withId.withColumn(cf, col(cf).cast("long"))

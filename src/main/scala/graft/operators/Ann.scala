@@ -27,6 +27,19 @@ object Ann {
     aggregate(zip_with(col(s"$a.v"), col(s"$b.v"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x) / (col(s"$a.norm") * col(s"$b.norm"))
 
+  /** Exact cosine rescore of candidate (id1, id2) pairs against a prepped
+    * embedding side — shared by the top-k and threshold-pairs LSH paths so
+    * the two can never drift. Output: (id1, id2, cosine) unrounded. */
+  private def rescorePairs(pairs: DataFrame, e: DataFrame): DataFrame =
+    pairs
+      .join(e.select(col("id").as("id1"), col("v").as("v1"),
+        col("norm").as("n1")), "id1")
+      .join(e.select(col("id").as("id2"), col("v").as("v2"),
+        col("norm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2"))).as("cosine"))
+
   /**
    * Exact cosine top-k neighbors per vector. Deterministic tie-break:
    * (cosine desc, neighbor id asc). O(n²) — small-scale baseline and oracle.
@@ -99,18 +112,15 @@ object Ann {
     val capped = BucketJoin.pairs(
       buckets.select(col("id"), col("bucket")), bucketCap, "ann_lsh")
     val undirected = capped.pairs
-    val cands = undirected.select(col("id1").as("id"), col("id2").as("neighbor"))
-      .union(undirected.select(col("id2").as("id"), col("id1").as("neighbor")))
-    val scored = cands
-      .join(e.select(col("id"), col("v"), col("norm")), "id")
-      .join(e.select(col("id").as("neighbor"), col("v").as("nv"),
-        col("norm").as("nnorm")), "neighbor")
-      .select(col("id"), col("neighbor"),
-        round(aggregate(zip_with(col("v"), col("nv"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("norm") * col("nnorm")), 6)
-          .as("cosine"))
+    val scored = rescorePairs(undirected, e)
+      .withColumn("cosine", round(col("cosine"), 6))
+    // directed view: each undirected pair serves both queries' top-k
+    val directed = scored
+      .select(col("id1").as("id"), col("id2").as("neighbor"), col("cosine"))
+      .union(scored
+        .select(col("id2").as("id"), col("id1").as("neighbor"), col("cosine")))
     val w = Window.partitionBy("id").orderBy(desc("cosine"), asc("neighbor"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    directed.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /**
@@ -152,23 +162,30 @@ object Ann {
    * force only materializes at high n. At near-dup thresholds (>= ~0.8,
    * the 100 TB use case) the tuned (nPlanes, nTables) prunes aggressively.
    */
-  def lshCosinePairs(emb: DataFrame, threshold: Double,
+  final case class PairsResult(pairs: DataFrame, oversizeLog: DataFrame)
+
+  /** [[lshCosinePairs]] + the skew-cap log: buckets over bucketCap degrade
+    * to star pairs (BucketJoin policy), which costs recall inside that
+    * bucket — the log is the evidence (no silent caps); sink it alongside
+    * the pipeline's other oversize logs. */
+  def lshCosinePairsWithLog(emb: DataFrame, threshold: Double,
       recallTarget: Double = 0.99, maxTables: Int = 32, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bucketCap: Int = 2048): DataFrame = {
+      bucketCap: Int = 2048): PairsResult = {
     val (nPlanes, nTables) = tunePlanes(threshold, recallTarget, maxTables)
     val e = prep(emb, idCol, vecCol)
     val buckets = hyperplaneBuckets(emb, nPlanes, nTables, seed, idCol, vecCol)
     val capped = BucketJoin.pairs(buckets, bucketCap, "cosine_lsh")
-    capped.pairs
-      .join(e.select(col("id").as("id1"), col("v").as("v1"),
-        col("norm").as("n1")), "id1")
-      .join(e.select(col("id").as("id2"), col("v").as("v2"),
-        col("norm").as("n2")), "id2")
-      .select(col("id1"), col("id2"),
-        (aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2"))).as("c"))
-      .filter(col("c") >= threshold)
-      .select(col("id1"), col("id2"), round(col("c"), 6).as("cosine"))
+    val out = rescorePairs(capped.pairs, e)
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+    PairsResult(out, capped.oversizeLog)
   }
+
+  def lshCosinePairs(emb: DataFrame, threshold: Double,
+      recallTarget: Double = 0.99, maxTables: Int = 32, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCap: Int = 2048): DataFrame =
+    lshCosinePairsWithLog(emb, threshold, recallTarget, maxTables, seed,
+      idCol, vecCol, bucketCap).pairs
 }

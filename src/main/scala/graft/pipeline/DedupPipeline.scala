@@ -104,14 +104,31 @@ final class DedupPipeline(
     * union is this engine's higher-recall extension). */
   def runPairs(pages: DataFrame, exact: Boolean = false,
       useMinhash: Boolean = true, useSimhash: Boolean = true,
-      useSpans: Boolean = true): DataFrame =
-    // checkpoint/resume at the output granularity: with a TableIO bound, a
-    // completed `pairs` table short-circuits the whole job (same marker
-    // contract as the staged pipeline)
-    stage("pairs") { runPairsBody(pages, exact, useMinhash, useSimhash, useSpans) }
+      useSpans: Boolean = true): DataFrame = io match {
+    case None =>
+      val (plan, caches) = runPairsPlan(pages, exact, useMinhash, useSimhash, useSpans)
+      // eager: one materialization, then release the signature cache
+      val out = plan.localCheckpoint()
+      caches.foreach(_.unpersist())
+      out
+    case Some(t) =>
+      // checkpoint/resume at the output granularity (same marker contract
+      // as the staged pipeline): a completed `pairs` table short-circuits
+      // the whole job. The parquet write IS the one materialization — no
+      // localCheckpoint first (that would run the verify job twice).
+      if (!t.isComplete("pairs")) {
+        val (plan, caches) = runPairsPlan(pages, exact, useMinhash, useSimhash, useSpans)
+        t.write(plan, "pairs")
+        logLineage("pairs")
+        t.markComplete("pairs")
+        caches.foreach(_.unpersist())
+      }
+      t.read("pairs")
+  }
 
-  private def runPairsBody(pages: DataFrame, exact: Boolean,
-      useMinhash: Boolean, useSimhash: Boolean, useSpans: Boolean): DataFrame = {
+  private def runPairsPlan(pages: DataFrame, exact: Boolean,
+      useMinhash: Boolean, useSimhash: Boolean, useSpans: Boolean)
+      : (DataFrame, Seq[DataFrame]) = {
     val input =
       if (hostSalts > 1 && pages.columns.contains("url"))
         Salting.saltPagesByHost(pages, hostSalts)
@@ -121,15 +138,15 @@ final class DedupPipeline(
       minhash = true, simhash = useSimhash, spans = useSpans)
     val sigs = Signatures.compute(input, cfg, emitShingles = false, parts = parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = CandidateGen.all(sigs, cfg,
+    val r = CandidateGen.all(sigs, cfg,
       useMinhash = useMinhash, useSimhash = useSimhash, useSpans = useSpans)
-      .candidates
-    val out = JaccardVerify.verify(cands, sigs, cfg, estimate = !exact,
+    // no silent caps in pairs mode either: skew-cap hits land in the same
+    // oversize sink run() uses (no-op without a checkpoint dir)
+    sideSink("oversize", r.oversizeLog)
+    val out = JaccardVerify.verify(r.candidates, sigs, cfg, estimate = !exact,
       texts = if (exact) Some(input.select(col("id"), col("text"))) else None,
       packedEstimate = !exact)
-      .localCheckpoint() // eager: release the signature cache below
-    sigs.unpersist()
-    out
+    (out, Seq(sigs))
   }
 
   /** Run a stage, or load it from checkpoint if already completed.

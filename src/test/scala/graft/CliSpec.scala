@@ -88,4 +88,62 @@ class CliSpec extends SparkSuite {
     intercept[IllegalArgumentException](Cli.parseArgs(
       Array("--mode", "wat", "--input", "i", "--output", "o")))
   }
+
+  test("linkage metrics: oriented cross-source truth (right ids below left ids)") {
+    // left-source ids are LARGER than right-source ids: oriented found
+    // pairs (left_id, right_id) have id1 > id2, which a canonical
+    // id1<id2 truth comparison would score as zero precision
+    val in = tmp("cli_in4")
+    val out = tmp("cli_out4")
+    val shared = "identical catalog description shared across both sources " +
+      "word for word with enough length to shingle"
+    val csv = writeCsv(in, "id,text,source,cluster", Seq(
+      s"""30,"$shared",right,7""",
+      s"""41,"$shared",left,7""",
+      s"""31,"unrelated text about something else entirely here",right,8""",
+      s"""42,"more unrelated filler prose with no duplicates",left,9"""))
+    Cli.run(spark, Cli.parseArgs(Array(
+      "--mode", "linkage", "--input", csv, "--output", out,
+      "--cluster-col", "cluster")))
+    val pairs = spark.read.parquet(s"$out/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((41L, 30L))) // oriented: left id first, and larger
+    val m = spark.read.parquet(s"$out/metrics").collect().head
+    assert(m.getAs[Long]("positivePairs") == 1L,
+      "truth must be cross-source pairs only (no intra-source expansion)")
+    assert(m.getAs[Double]("precision") == 1.0)
+    assert(m.getAs[Double]("recall") == 1.0)
+  }
+
+  test("CSV input honors --id-col; non-integral ids fail fast") {
+    val in = tmp("cli_in5")
+    val out = tmp("cli_out5")
+    val csv = writeCsv(in, "doc_id,text", Seq(
+      """50,"short document number one for id column handling"""",
+      """51,"short document number two for id column handling""""))
+    // custom id column works end-to-end
+    Cli.run(spark, Cli.parseArgs(Array(
+      "--mode", "dedup", "--input", csv, "--output", out,
+      "--id-col", "doc_id")))
+    assert(spark.read.parquet(s"$out/clusters").count() == 2)
+    // UUID-ish ids (parquet input) are rejected with a renumbering hint,
+    // not silently nulled / deep-join-errored
+    val in2 = tmp("cli_in6")
+    val csv2 = writeCsv(in2, "id,text", Seq("""rec-001,"some text""""))
+    val parqDir = s"$in2/in_parq"
+    spark.read.option("header", "true").csv(csv2).write.parquet(parqDir)
+    val err = intercept[IllegalArgumentException] {
+      Cli.run(spark, Cli.parseArgs(Array(
+        "--mode", "dedup", "--input", parqDir, "--output", tmp("cli_out7"))))
+    }
+    assert(err.getMessage.contains("renumber"))
+  }
+
+  test("--estimate rejected outside plain dedup mode") {
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Cli.parseArgs(Array(
+        "--mode", "linkage", "--input", "x.csv", "--output", "o",
+        "--estimate")))
+    }
+  }
 }

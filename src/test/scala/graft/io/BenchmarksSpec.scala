@@ -47,4 +47,18 @@ class BenchmarksSpec extends SparkSuite {
     assert(recs.map(_.getAs[Long]("cluster_id")).toSet == Set(100L))
     assert(ds.train.isEmpty && ds.rightIdOffset == 0L)
   }
+
+  test("single-table dataset with labeled pairs: loaded unshifted, not discarded") {
+    val dir = Files.createTempDirectory("bench_ds2").toString
+    val t = java.nio.file.Paths.get(dir, "t.csv")
+    Files.writeString(t, Seq("id,text", "1,aa", "2,ab", "3,zz").mkString("\n"))
+    val tr = java.nio.file.Paths.get(dir, "train.csv")
+    Files.writeString(tr, Seq("ltable_id,rtable_id,label",
+      "1,2,1", "1,3,0").mkString("\n"))
+    val ds = Benchmarks.load(spark, Benchmarks.DatasetConfig(
+      "toy2", t.toString, trainPairs = Some(tr.toString)))
+    val pos = ds.train.get.pos.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val neg = ds.train.get.neg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos == Set((1L, 2L)) && neg == Set((1L, 3L)))
+  }
 }
