@@ -231,16 +231,30 @@ object SparkEntry {
       // char-shingle title (fuzzy) + word-token body, 2:1 weighted score;
       // configs exercised through the JSON parser (S4). Threshold 0.6 sits
       // in the probed empty margin [0.516, 0.917] at sf0.01.
-      val nt = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-      val recs = docs(s, dir).select(col("doc_id").as("id"),
-        nt.substr(lit(1), lit(48)).as("title"),
-        nt.substr(lit(49), length(nt)).as("body"))
-      val specs = MultiField.parseConfigs(
-        """{"title": {"sig_type": "syntactic", "weight": 2.0},
-           "body": {"sig_type": "semantic", "weight": 1.0}}""")
+      val (recs, specs) = multifieldInput(s, dir)
       MultiField.dedupPairs(recs, specs, 0.6).orderBy("id1", "id2")
+    }),
+    "q_multifield_lsh_pairs" -> ((s, dir) => {
+      // the 100 TB multi-field mode: per-field MinHash LSH OR-blocking →
+      // exact weighted rescore (threshold-independent blocking cost)
+      val (recs, specs) = multifieldInput(s, dir)
+      MultiField.rescore(
+        MultiField.lshCandidates(recs, specs, cfg).candidates, recs, specs, 0.6)
+        .orderBy("id1", "id2")
     })
   )
+
+  /** Shared derived title/body input for the two multi-field queries. */
+  private def multifieldInput(s: SparkSession, dir: String) = {
+    val nt = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val recs = docs(s, dir).select(col("doc_id").as("id"),
+      nt.substr(lit(1), lit(48)).as("title"),
+      nt.substr(lit(49), length(nt)).as("body"))
+    val specs = MultiField.parseConfigs(
+      """{"title": {"sig_type": "syntactic", "weight": 2.0},
+         "body": {"sig_type": "semantic", "weight": 1.0}}""")
+    (recs, specs)
+  }
 
   /** DuckDB-equivalent SQL per query (driver correctness gate).
     *
@@ -608,6 +622,33 @@ object SparkEntry {
              list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) c
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          WHERE c >= 0.4 ORDER BY 1, 2""",
+    // ONE-SIDED: every emitted pair's exact weighted multi-field score is
+    // recomputed from `documents` (same derived title/body fields as
+    // q_multifield_pairs) and must equal the emitted value at >= 0.6;
+    // floor 22 vs the 25-row exact result pins LSH recall (measured 25/25)
+    "q_multifield_lsh_pairs" ->
+      s"""WITH nd AS (SELECT doc_id,
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) nt FROM documents),
+          f AS (SELECT doc_id, trim(substr(nt, 1, 48)) title,
+            trim(substr(nt, 49)) body FROM nd),
+          g AS (SELECT doc_id,
+            CASE WHEN len(title) >= 5 THEN list_distinct(
+              [substr(title, i, 5) FOR i IN range(1, len(title) - 3)])
+              ELSE []::VARCHAR[] END gt,
+            CASE WHEN len(body) > 0 THEN list_distinct(string_split(body, ' '))
+              ELSE []::VARCHAR[] END gb FROM f),
+          r AS (SELECT * FROM read_parquet('$auxDir/out/q_multifield_lsh_pairs/*.parquet'))
+          SELECT r.id1, r.id2, r.score FROM r
+          JOIN g a ON a.doc_id = r.id1 JOIN g b ON b.doc_id = r.id2
+          WHERE round((coalesce(len(list_intersect(a.gt, b.gt))::DOUBLE
+                / nullif(len(list_distinct(a.gt || b.gt)), 0), 0.0) * 2.0
+              + coalesce(len(list_intersect(a.gb, b.gb))::DOUBLE
+                / nullif(len(list_distinct(a.gb || b.gb)), 0), 0.0) * 1.0)
+              / 3.0, 6) = r.score
+            AND r.score >= 0.6 AND r.id1 < r.id2
+          UNION ALL SELECT -1::BIGINT, -1::BIGINT, -1.0::DOUBLE
+            WHERE (SELECT count(*) FROM r) < 22
+          ORDER BY 1, 2""",
     // ONE-SIDED: every emitted pair's exact cosine is recomputed from
     // `embeddings` and must equal the emitted value at >= threshold; floor
     // 55 vs the 59-row brute-force result pins recall (measured 59/59 with
