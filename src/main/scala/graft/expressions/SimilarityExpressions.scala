@@ -48,6 +48,15 @@ object SimilarityExpressions {
     ExpressionUtils.column(TextShingleJaccard(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b), k))
 
+  /** Dot product of two ARRAY<DOUBLE> columns — the embedding-similarity
+    * hot path. The `aggregate(zip_with(...))` higher-order-function form is
+    * NOT codegen-fused and boxes per element (measured: the cosine LSH
+    * rescore spent most of its wall in HOF eval); this is the same
+    * left-to-right float summation order, bitwise-identical results. */
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Register SQL names (optional convenience for spark.sql users). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -286,6 +295,50 @@ case class MinHashAgreementPacked(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashAgreementPacked =
     copy(left = newLeft, right = newRight)
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt.isInstanceOf[ArrayType] &&
+      dt.asInstanceOf[ArrayType].elementType == DoubleType
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<DOUBLE> arguments")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.DotProduct.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Left-to-right summation — the same FP order as
+    * aggregate(zip_with(a, b, _*_), 0.0, _+_), so results are
+    * bitwise-identical to the HOF form it replaces. Vectors are expected
+    * equal-length (embedding columns); extra trailing elements on either
+    * side are ignored. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
 }
 
 object MinHashAgreementPacked {

@@ -21,11 +21,12 @@ object Ann {
   private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm",
+        sqrt(graft.expressions.SimilarityExpressions.dotProduct(col("v"), col("v"))))
 
   private def cosine = (a: String, b: String) =>
-    aggregate(zip_with(col(s"$a.v"), col(s"$b.v"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x) / (col(s"$a.norm") * col(s"$b.norm"))
+    graft.expressions.SimilarityExpressions.dotProduct(col(s"$a.v"), col(s"$b.v")) /
+      (col(s"$a.norm") * col(s"$b.norm"))
 
   /** Exact cosine rescore of candidate (id1, id2) pairs against a prepped
     * embedding side — shared by the top-k and threshold-pairs LSH paths so
@@ -37,8 +38,8 @@ object Ann {
       .join(e.select(col("id").as("id2"), col("v").as("v2"),
         col("norm").as("n2")), "id2")
       .select(col("id1"), col("id2"),
-        (aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2"))).as("cosine"))
+        (graft.expressions.SimilarityExpressions.dotProduct(col("v1"), col("v2"))
+          / (col("n1") * col("n2"))).as("cosine"))
 
   /**
    * Exact cosine top-k neighbors per vector. Deterministic tie-break:
@@ -62,9 +63,17 @@ object Ann {
    * (P[bit match] = 1 - angle/π).
    */
   def hyperplaneBuckets(emb: DataFrame, nPlanes: Int, nTables: Int, seed: Long,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = prep(emb, idCol, vecCol)
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    hyperplaneBucketsFromPrepped(prep(emb, idCol, vecCol),
+      emb.select(size(col(vecCol))).head().getInt(0), nPlanes, nTables, seed)
+
+  /** Variant over an already-prepped (and typically persisted) `e` — the
+    * LSH paths below reuse ONE prepped side for bucketing AND rescoring
+    * instead of re-deriving it per consumer (the un-persisted form
+    * re-executed the scan + norm + bucket UDF subtree three times: both
+    * sides of the bucket self-join plus the star branch). */
+  private def hyperplaneBucketsFromPrepped(e: DataFrame, dim: Int,
+      nPlanes: Int, nTables: Int, seed: Long): DataFrame = {
     // Deterministic pseudo-gaussian planes: sum of 4 uniform draws per
     // coord. Precomputed once on the driver and closed over by ONE udf —
     // building nTables*nPlanes*dim column expressions instead blows codegen
@@ -103,8 +112,26 @@ object Ann {
   def lshTopK(emb: DataFrame, k: Int, nPlanes: Int = 12, nTables: Int = 6,
       seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", bucketCap: Int = 2048): DataFrame = {
+    val (plan, caches) = lshTopKLazy(emb, k, nPlanes, nTables, seed, idCol,
+      vecCol, bucketCap)
+    // eager: one materialization, then release the prepped-embedding cache
+    // (same cache-lifecycle pattern as SetSimJoin/MultiField)
+    val out = plan.localCheckpoint()
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** Un-checkpointed plan + held caches (plan-shape tests assert on this). */
+  private[graft] def lshTopKLazy(emb: DataFrame, k: Int, nPlanes: Int = 12,
+      nTables: Int = 6, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", bucketCap: Int = 2048)
+      : (DataFrame, Seq[DataFrame]) = {
+    // ONE prepped side, persisted: feeds the bucket UDF and both rescore
+    // joins (5 consumers of the scan + norm projection otherwise)
     val e = prep(emb, idCol, vecCol)
-    val buckets = hyperplaneBuckets(emb, nPlanes, nTables, seed, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val buckets = hyperplaneBucketsFromPrepped(e, dim, nPlanes, nTables, seed)
     // capped bucket join (same machinery as every blocking stage): a dense
     // embedding region would otherwise make one mega-bucket emit O(n²)
     // candidate rows. Oversize buckets degrade to star pairs around the
@@ -120,7 +147,8 @@ object Ann {
       .union(scored
         .select(col("id2").as("id"), col("id1").as("neighbor"), col("cosine")))
     val w = Window.partitionBy("id").orderBy(desc("cosine"), asc("neighbor"))
-    directed.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    (directed.withColumn("rank", row_number().over(w)).filter(col("rank") <= k),
+      Seq(e))
   }
 
   /**
@@ -172,20 +200,43 @@ object Ann {
       recallTarget: Double = 0.99, maxTables: Int = 32, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bucketCap: Int = 2048): PairsResult = {
+    val (plan, caches) = lshCosinePairsLazy(emb, threshold, recallTarget,
+      maxTables, seed, idCol, vecCol, bucketCap)
+    // eager pairs + eager (tiny) log, then release the prepped cache
+    val out = plan.pairs.localCheckpoint()
+    val log = plan.oversizeLog.localCheckpoint()
+    caches.foreach(_.unpersist())
+    PairsResult(out, log)
+  }
+
+  /** Un-checkpointed plans + held caches (plan-shape tests assert on this). */
+  private[graft] def lshCosinePairsLazy(emb: DataFrame, threshold: Double,
+      recallTarget: Double = 0.99, maxTables: Int = 32, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCap: Int = 2048): (PairsResult, Seq[DataFrame]) = {
     val (nPlanes, nTables) = tunePlanes(threshold, recallTarget, maxTables)
+    // ONE prepped side, persisted (see lshTopKLazy)
     val e = prep(emb, idCol, vecCol)
-    val buckets = hyperplaneBuckets(emb, nPlanes, nTables, seed, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val buckets = hyperplaneBucketsFromPrepped(e, dim, nPlanes, nTables, seed)
     val capped = BucketJoin.pairs(buckets, bucketCap, "cosine_lsh")
     val out = rescorePairs(capped.pairs, e)
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
-    PairsResult(out, capped.oversizeLog)
+    (PairsResult(out, capped.oversizeLog), Seq(e))
   }
 
   def lshCosinePairs(emb: DataFrame, threshold: Double,
       recallTarget: Double = 0.99, maxTables: Int = 32, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bucketCap: Int = 2048): DataFrame =
-    lshCosinePairsWithLog(emb, threshold, recallTarget, maxTables, seed,
-      idCol, vecCol, bucketCap).pairs
+      bucketCap: Int = 2048): DataFrame = {
+    // direct lazy use: the log-carrying form pays one extra job to
+    // materialize the oversize log — skip it when the caller never looks
+    val (r, caches) = lshCosinePairsLazy(emb, threshold, recallTarget,
+      maxTables, seed, idCol, vecCol, bucketCap)
+    val out = r.pairs.localCheckpoint()
+    caches.foreach(_.unpersist())
+    out
+  }
 }

@@ -117,13 +117,13 @@ object Dedup {
    */
   def embeddingCosinePairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = graft.expressions.SimilarityExpressions.dotProduct _
     val e = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .withColumn("cosine",
-        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-          lit(0.0), (a, x) => a + x) / (col("a.norm") * col("b.norm")))
+        dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         round(col("cosine"), 6).as("cosine"))

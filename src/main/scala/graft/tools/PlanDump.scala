@@ -1,19 +1,16 @@
 package graft.tools
-import graft.config.GraftConfig
-import graft.operators._
-import org.apache.spark.sql.functions._
+
+/** Print `.explain("formatted")` for named SparkEntry queries (plan-shape
+  * iteration aid). Usage: runMain graft.tools.PlanDump <sfDir> <query...> */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val names = args.drop(1)
     val spark = graft.Bench.makeSession("4")
-    val cfg = GraftConfig.default
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val sigs = Signatures.compute(docs, cfg, "doc_id", "text")
-    println("===== SIGNATURES =====")
-    sigs.explain("formatted")
-    val m = sigs.select(col("id"), explode(col("band_keys")).as("bucket"))
-    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "minhash")
-    println("===== BUCKET JOIN =====")
-    r.pairs.explain("formatted")
+    names.foreach { name =>
+      println(s"===== $name =====")
+      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
     spark.stop()
   }
 }

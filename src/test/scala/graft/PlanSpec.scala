@@ -66,6 +66,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("cosine LSH pairs + pairs-mode plans contain no cartesian product") {
+    // lazy variants: the public forms eagerly checkpoint (cache hygiene),
+    // which would collapse executedPlan to a checkpoint-RDD scan
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (r1, c1) = Ann.lshCosinePairsLazy(emb, 0.5)
+    try {
+      val p1 = plan(r1.pairs)
+      assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"), p1)
+    } finally c1.foreach(_.unpersist())
+    val (r2, c2) = Ann.lshTopKLazy(emb, 3)
+    try {
+      val p2 = plan(r2)
+      assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+    } finally c2.foreach(_.unpersist())
+  }
+
   test("whole-stage codegen covers the signature projection") {
     val docs = spark.read.parquet(docsPath)
     val df = Signatures.compute(docs, cfg, "doc_id", "text")

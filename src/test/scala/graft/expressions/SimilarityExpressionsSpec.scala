@@ -36,6 +36,25 @@ class SimilarityExpressionsSpec extends SparkSuite {
     }
   }
 
+  test("DotProduct native expression: bitwise-identical to the HOF form, both eval paths") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((Array(0.1, -2.5, 3.75, 0.0), Array(1.5, 0.25, -0.5, 9.0)))
+      .toDF("a", "b")
+    val hof = df.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)).head().getDouble(0)
+    assert(df.select(SimilarityExpressions.dotProduct($"a", $"b"))
+      .head().getDouble(0) == hof)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(df.select(SimilarityExpressions.dotProduct($"a", $"b"))
+        .head().getDouble(0) == hof)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("MinHashAgreement native expression") {
     val df = Seq((Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 7L))).toDF("a", "b")
     assert(df.select(SimilarityExpressions.minhashAgreement($"a", $"b"))
