@@ -139,6 +139,30 @@ class CliSpec extends SparkSuite {
     assert(err.getMessage.contains("renumber"))
   }
 
+  test("parquet input + --estimate: tier-1 scored pairs, checkpoint resume") {
+    val in = tmp("cli_in8")
+    val out = tmp("cli_out8")
+    val ckpt = tmp("cli_ckpt8")
+    val dupText = "the quick brown fox jumps over the lazy dog and keeps " +
+      "going for quite a while longer than expected"
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, dupText), (2L, dupText),
+      (3L, "a completely different document about query engines"))
+      .toDF("id", "text").write.parquet(s"$in/recs")
+    val args = Array("--mode", "dedup", "--input", s"$in/recs",
+      "--output", out, "--estimate", "--checkpoint-dir", ckpt)
+    Cli.run(spark, Cli.parseArgs(args))
+    val pairs = spark.read.parquet(s"$out/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // config-scoped checkpoint exists and a rerun resumes from it
+    val cfgDirs = new java.io.File(ckpt).listFiles()
+    assert(cfgDirs != null && cfgDirs.exists(_.getName.startsWith("cfg_")))
+    Cli.run(spark, Cli.parseArgs(args)) // must not fail; serves the marker
+    assert(spark.read.parquet(s"$out/pairs").count() == 1)
+  }
+
   test("--estimate rejected outside plain dedup mode") {
     intercept[IllegalArgumentException] {
       Cli.run(spark, Cli.parseArgs(Array(
