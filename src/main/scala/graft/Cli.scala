@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
  *   [--id-col id] [--text-col text] [--cluster-col cluster] \
  *   [--checkpoint-dir /ckpt]                  # stage resume (dedup pipeline)
  *   [--source-col source --left-source left]           # linkage mode
+ *   [--sweep 0.3,0.5,0.7]   # evaluation mode: one metrics row per threshold
  * }}}
  *
  * Outputs (ParquetTables under --output; an Iceberg deployment swaps the
@@ -39,6 +40,11 @@ import org.apache.spark.sql.functions._
  *    exact weighted join (MultiField.dedupPairs) at --threshold.
  *  - linkage: cross-source pairs only (--source-col / --left-source),
  *    oriented (left_id, right_id) — reference ANNLinkageIndex semantics.
+ *    With --field-config: multi-field linkage (MultiField.linkagePairs),
+ *    the reference's Record-Linkage-Example shape.
+ *  - --sweep (needs --cluster-col): pairs are scored down to min(sweep ∪
+ *    {threshold}) and the metrics table gets one row per swept threshold
+ *    (reference entity_embed.py:355-385).
  */
 object Cli {
 
@@ -55,7 +61,8 @@ object Cli {
       sourceCol: String = "source",
       leftSource: String = "left",
       estimate: Boolean = false,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      sweep: Seq[Double] = Nil)
 
   def parseArgs(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
@@ -73,6 +80,8 @@ object Cli {
       case "--left-source" :: v :: t => loop(a.copy(leftSource = v), t)
       case "--estimate" :: t => loop(a.copy(estimate = true), t)
       case "--checkpoint-dir" :: v :: t => loop(a.copy(checkpointDir = Some(v)), t)
+      case "--sweep" :: v :: t =>
+        loop(a.copy(sweep = v.split(",").toSeq.map(_.trim.toDouble)), t)
       case x :: _ => throw new IllegalArgumentException(s"unknown argument: $x")
     }
     val a = loop(Args(), argv.toList)
@@ -110,52 +119,91 @@ object Cli {
   /** Run with an existing session (tests call this; main wraps it). */
   def run(spark: SparkSession, a: Args): Unit = {
     val cfg0 = GraftConfig.default
-    val cfg = a.threshold.fold(cfg0)(t => cfg0.copy(simThreshold = t))
+    // --sweep implies scoring down to min(sweep): pairs must be retained at
+    // the lowest swept threshold or the sweep rows below it would count a
+    // truncated pair set (reference sweeps over the full retrieved set,
+    // entity_embed.py:355-385)
+    val baseT = a.threshold.getOrElse(cfg0.simThreshold)
+    val effT = (baseT +: a.sweep).min
+    val cfg = cfg0.copy(simThreshold = effT)
     // --estimate is only wired into the plain-dedup pipeline path; reject
     // the other modes loudly instead of silently running exact scoring
     require(!a.estimate || (a.mode == "dedup" && a.fieldConfig.isEmpty),
       "--estimate applies only to --mode dedup without --field-config")
+    require(a.sweep.forall(t => t > 0 && t <= 1), "--sweep thresholds in (0, 1]")
     val io = new graft.io.ParquetTables(spark, a.output)
     val raw = readInput(spark, a)
     require(raw.columns.contains(a.idCol), s"input needs column '${a.idCol}'")
+    // a --cluster-col typo must not silently drop the evaluation the user
+    // asked for (same fail-fast contract as --id-col / --source-col)
+    a.clusterCol.foreach(cc => require(raw.columns.contains(cc),
+      s"--cluster-col '$cc' not in input (available: ${raw.columns.mkString(", ")})"))
     requireIntegralIds(raw, a.idCol)
+    // field config read once: the checkpoint scope below hashes its CONTENT
+    // (editing fields.json in place + rerunning with the same
+    // --checkpoint-dir must recompute, not serve stale stage outputs)
+    val fieldJson = a.fieldConfig.map { path =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    }
     // config-scoped checkpoint root: a rerun with a different threshold /
-    // estimate / mode can never be served another config's stage outputs.
-    // Input identity remains the caller's contract, as for any checkpoint.
+    // estimate / mode / field config can never be served another config's
+    // stage outputs. Input identity remains the caller's contract.
     val ckpt = a.checkpointDir.map { d =>
-      val h = (a.mode, cfg.simThreshold, a.estimate, a.fieldConfig).##
+      val h = (a.mode, cfg.simThreshold, a.estimate, fieldJson).##
       f"$d/cfg_${h & 0xffffffffL}%08x"
     }
 
-    val (pairs, clustered) = a.mode match {
-      case "linkage" =>
+    val (pairs, clustered) = (a.mode, fieldJson) match {
+      case ("linkage", fj) =>
         require(raw.columns.contains(a.sourceCol),
           s"linkage mode needs --source-col '${a.sourceCol}' in the input")
         val recs = raw.withColumn(a.idCol, col(a.idCol).cast("long"))
-        val p = Linkage.linkagePairs(recs, cfg, a.leftSource,
-            a.idCol, a.textCol, a.sourceCol)
-          .select(col("left_id").as("id1"), col("right_id").as("id2"),
-            col("jaccard").as("score"))
+        val p = fj match {
+          case Some(json) =>
+            // multi-field linkage: the reference's flagship linkage shape
+            // (field config over two catalogs, Record-Linkage-Example)
+            val specs = MultiField.bindStats(raw, MultiField.parseConfigs(json))
+            MultiField.linkagePairs(recs, specs, cfg.simThreshold,
+              a.leftSource, a.idCol, a.sourceCol)
+              .select(col("left_id").as("id1"), col("right_id").as("id2"),
+                col("score"))
+          case None =>
+            Linkage.linkagePairs(recs, cfg, a.leftSource,
+              a.idCol, a.textCol, a.sourceCol)
+              .select(col("left_id").as("id1"), col("right_id").as("id2"),
+                col("jaccard").as("score"))
+        }
         (p, false)
-      case "dedup" => a.fieldConfig match {
-        case Some(path) =>
-          val json = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-          val specs = MultiField.bindStats(raw, MultiField.parseConfigs(json))
-          val p = MultiField.dedupPairs(
-            raw.withColumn(a.idCol, col(a.idCol).cast("long")), specs,
-            cfg.simThreshold, a.idCol)
-          (p, true)
-        case None =>
-          val recs = raw.select(col(a.idCol).cast("long").as("id"),
-            col(a.textCol).as("text"))
-          // --checkpoint-dir: stage outputs land there (config-scoped, see
-          // ckpt above) with completion markers, so a killed job resumes
-          val p = new DedupPipeline(spark, cfg, checkpointDir = ckpt)
-            .runPairs(recs, exact = !a.estimate)
-            .select(col("id1"), col("id2"), col("jaccard").as("score"))
-          (p, true)
-      }
+      case ("dedup", Some(json)) =>
+        val specs = MultiField.bindStats(raw, MultiField.parseConfigs(json))
+        def compute() = MultiField.dedupPairs(
+          raw.withColumn(a.idCol, col(a.idCol).cast("long")), specs,
+          cfg.simThreshold, a.idCol)
+        // checkpoint at the pairs granularity (same marker contract as the
+        // pipeline path). The scope hash covers the field-config CONTENT:
+        // editing fields.json in place and rerunning with the same
+        // --checkpoint-dir recomputes under a fresh scope instead of
+        // silently serving pairs scored under the old config.
+        val p = ckpt match {
+          case Some(dir) =>
+            val t = new graft.io.ParquetTables(spark, dir)
+            if (!t.isComplete("pairs")) {
+              t.write(compute(), "pairs"); t.markComplete("pairs")
+            }
+            t.read("pairs")
+          case None => compute()
+        }
+        (p, true)
+      case ("dedup", None) =>
+        val recs = raw.select(col(a.idCol).cast("long").as("id"),
+          col(a.textCol).as("text"))
+        // --checkpoint-dir: stage outputs land there (config-scoped, see
+        // ckpt above) with completion markers, so a killed job resumes
+        val p = new DedupPipeline(spark, cfg, checkpointDir = ckpt)
+          .runPairs(recs, exact = !a.estimate)
+          .select(col("id1"), col("id2"), col("jaccard").as("score"))
+        (p, true)
     }
     io.write(pairs, "pairs")
     io.markComplete("pairs")
@@ -170,7 +218,7 @@ object Cli {
       io.markComplete("clusters")
     }
 
-    a.clusterCol.filter(raw.columns.contains) foreach { cc =>
+    a.clusterCol.foreach { cc =>
       val truth = raw.select(col(a.idCol).cast("long").as("id"),
         col(cc).cast("long").as("cluster"))
       // ground truth must match the mode's pair semantics: linkage emits
@@ -187,10 +235,19 @@ object Cli {
           PairAlgebra.clusterToLinkagePairs(truth, sources, a.leftSource)
         case _ => PairAlgebra.clusterToPairs(truth)
       }
-      val m = Metrics.evaluate(written.select("id1", "id2"), pos,
-        raw.count(), cfg.simThreshold)
       import spark.implicits._
-      io.write(Seq(m).toDS().toDF(), "metrics")
+      // --sweep t1,t2,...: one metrics row per threshold over the ONE scored
+      // pair table (reference evaluation-mode sweep, entity_embed.py:355-385
+      // — it re-searches the index per threshold; Metrics.sweep is a single
+      // conditional aggregation). Without --sweep: one row at the run
+      // threshold.
+      val rows =
+        if (a.sweep.nonEmpty)
+          Metrics.sweep(written.select(col("id1"), col("id2"),
+            col("score").as("jaccard")), pos, raw.count(), a.sweep.sorted)
+        else Seq(Metrics.evaluate(written.select("id1", "id2"), pos,
+          raw.count(), cfg.simThreshold))
+      io.write(rows.toDS().toDF(), "metrics")
       io.markComplete("metrics")
     }
   }

@@ -241,6 +241,17 @@ object SparkEntry {
       MultiField.rescore(
         MultiField.lshCandidates(recs, specs, cfg).candidates, recs, specs, 0.6)
         .orderBy("id1", "id2")
+    }),
+    "q_multifield_linkage" -> ((s, dir) => {
+      // multi-field record LINKAGE (reference Record-Linkage-Example shape):
+      // same derived title/body fields, sources by id parity, oriented
+      // (left_id, right_id) output — source-disjointness evaluated inside
+      // each field's prefix-filter join
+      val (recs, specs) = multifieldInput(s, dir)
+      val tagged = recs.withColumn("source",
+        when(pmod(col("id"), lit(2)) === 0, "left").otherwise("right"))
+      MultiField.linkagePairs(tagged, specs, 0.6, "left")
+        .orderBy("left_id", "right_id")
     })
   )
 
@@ -705,6 +716,30 @@ object SparkEntry {
           LEFT JOIN dots ON dots.id1 = p.id1 AND dots.id2 = p.id2
           JOIN nrm na ON na.doc_id = p.id1 JOIN nrm nb ON nb.doc_id = p.id2
           ORDER BY 1, 2""",
+    // TWO-SIDED: brute-force weighted multi-field score over derived
+    // title/body fields, cross-parity only, oriented (left = even doc_id) —
+    // the Spark side is the exact source-filtered SetSimJoin union, so full
+    // result-set equality is expected
+    "q_multifield_linkage" ->
+      """WITH nd AS (SELECT doc_id,
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')) nt FROM documents),
+          f AS (SELECT doc_id, trim(substr(nt, 1, 48)) title,
+            trim(substr(nt, 49)) body FROM nd),
+          g AS (SELECT doc_id,
+            CASE WHEN len(title) >= 5 THEN list_distinct(
+              [substr(title, i, 5) FOR i IN range(1, len(title) - 3)])
+              ELSE []::VARCHAR[] END gt,
+            CASE WHEN len(body) > 0 THEN list_distinct(string_split(body, ' '))
+              ELSE []::VARCHAR[] END gb FROM f)
+          SELECT left_id, right_id, score FROM (
+            SELECT a.doc_id left_id, b.doc_id right_id,
+              round((coalesce(len(list_intersect(a.gt, b.gt))::DOUBLE
+                  / nullif(len(list_distinct(a.gt || b.gt)), 0), 0.0) * 2.0
+                + coalesce(len(list_intersect(a.gb, b.gb))::DOUBLE
+                  / nullif(len(list_distinct(a.gb || b.gb)), 0), 0.0) * 1.0)
+                / 3.0, 6) score
+            FROM g a JOIN g b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+          WHERE score >= 0.6 ORDER BY 1, 2""",
     "q_pair_cap" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') tk
             FROM documents),

@@ -223,20 +223,63 @@ object MultiField {
     out
   }
 
+  /**
+   * Multi-field record LINKAGE — the reference's linkage mode over a field
+   * config (entity_embed.py:536-582 driving ANNLinkageIndex,
+   * indexes.py:85-140): two tagged sources in one table, the same per-field
+   * gram/blocking/weighted-rescore machinery as [[dedupPairs]], but only
+   * CROSS-source pairs, emitted ORIENTED as (left_id, right_id, score)
+   * regardless of id magnitude (indexes.py:123-130).
+   *
+   * Scale shape: source-disjointness is evaluated INSIDE each field's
+   * prefix-filter candidate join (SetSimJoin pairFilter hook — intra-source
+   * collisions, ~half of all candidates on balanced sources, never reach
+   * the pair exchange), exactly like the single-column Linkage operator
+   * pushes it into the bucket join. Completeness is unchanged: the filter
+   * removes only pairs the output excludes by definition.
+   */
+  def linkagePairs(records: DataFrame, specs: Seq[FieldSpec], threshold: Double,
+      leftSource: String, idCol: String = "id",
+      sourceCol: String = "source"): DataFrame = {
+    require(records.columns.contains(sourceCol),
+      s"linkage needs source column '$sourceCol'")
+    val crossSource: (String, String) => Column =
+      (a, b) => col(s"$a.$sourceCol") =!= col(s"$b.$sourceCol")
+    val (plan, caches) = dedupPairsPlan(records, specs, threshold, idCol,
+      extra = Seq(sourceCol), pairFilter = Some(crossSource))
+    val src = records.select(col(idCol).cast("long").as("id"),
+      col(sourceCol).as("source"))
+    val oriented = plan
+      .join(src.select(col("id").as("id1"), col("source").as("src1")), "id1")
+      .join(src.select(col("id").as("id2"), col("source").as("src2")), "id2")
+      .filter(col("src1") =!= col("src2"))
+      .filter(col("src1") === leftSource || col("src2") === leftSource)
+      .select(
+        when(col("src1") === leftSource, col("id1")).otherwise(col("id2")).as("left_id"),
+        when(col("src1") === leftSource, col("id2")).otherwise(col("id1")).as("right_id"),
+        col("score"))
+    val out = oriented.localCheckpoint()
+    caches.foreach(_.unpersist())
+    out
+  }
+
   /** The un-checkpointed join plan + the caches it holds — plan-shape tests
     * assert on THIS (the public method's localCheckpoint collapses
     * executedPlan to a checkpoint-RDD scan, which would make a no-cartesian
     * assertion vacuous); callers must unpersist the returned caches after
     * materializing. */
   private[graft] def dedupPairsPlan(records: DataFrame, specs: Seq[FieldSpec],
-      threshold: Double, idCol: String = "id"): (DataFrame, Seq[DataFrame]) = {
+      threshold: Double, idCol: String = "id", extra: Seq[String] = Nil,
+      pairFilter: Option[(String, String) => Column] = None)
+      : (DataFrame, Seq[DataFrame]) = {
     require(specs.nonEmpty, "at least one field spec required")
     val totalW = specs.map(_.weight).sum
 
     // persisted per field: each gram table feeds its SetSimJoin AND two
     // sides of the rescore join — 3 consumers of a scan + gram projection
     val fieldGrams = specs.map { sp =>
-      records.select(col(idCol).as("id"), gramCol(col(sp.source), sp).as("g"))
+      records.select(col(idCol).as("id") +: extra.map(col) :+
+          gramCol(col(sp.source), sp).as("g"): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -250,7 +293,8 @@ object MultiField {
     // a selective field's single-field plan — the raw-candidate estimate
     // (one cheap pass per field) picks the cheapest.
     def unionPlan(): DataFrame = fieldGrams
-      .map(d => SetSimJoin.jaccardSelfJoin(d, threshold).select("id1", "id2"))
+      .map(d => SetSimJoin.jaccardSelfJoin(d, threshold, extra, pairFilter)
+        .select("id1", "id2"))
       .reduce(_ union _)
       .distinct()
 
@@ -272,7 +316,8 @@ object MultiField {
         if (bestCost < unionCost) {
           log.info(s"multifield plan: single-field '${bsp.field}' at " +
             f"$btf%.3f (est $bestCost raw candidates vs union $unionCost)")
-          SetSimJoin.jaccardSelfJoin(bd, btf).select("id1", "id2")
+          SetSimJoin.jaccardSelfJoin(bd, btf, extra, pairFilter)
+            .select("id1", "id2")
         } else {
           log.info(s"multifield plan: union of ${specs.size} field joins at " +
             f"$threshold%.3f (est $unionCost raw candidates; best single " +
@@ -316,7 +361,10 @@ object MultiField {
    * is independent of the similarity threshold.
    */
   def lshCandidates(records: DataFrame, specs: Seq[FieldSpec],
-      cfg: graft.config.GraftConfig, idCol: String = "id"): CandidateGen.Result = {
+      cfg: graft.config.GraftConfig, idCol: String = "id",
+      extra: Seq[String] = Nil,
+      pairFilter: Option[(String, String) => Column] = None)
+      : CandidateGen.Result = {
     require(specs.nonEmpty, "at least one field spec required")
     val memberships = specs.zipWithIndex.map { case (sp, i) =>
       val sigs = Signatures.compute(
@@ -328,7 +376,14 @@ object MultiField {
         explode(transform(col("band_keys"),
           k => xxhash64(lit(i), k))).as("bucket"))
     }.reduce(_ unionByName _)
-    val r = BucketJoin.pairs(memberships, cfg.maxBandBucket, "multifield_lsh")
+    // extras (e.g. a linkage source tag) join in by id so the caller's
+    // pairFilter can run INSIDE the bucket join, before the pair exchange
+    val withExtra =
+      if (extra.isEmpty) memberships
+      else memberships.join(
+        records.select(col(idCol).cast("long").as("id") +: extra.map(col): _*), "id")
+    val r = BucketJoin.pairs(withExtra, cfg.maxBandBucket, "multifield_lsh",
+      pairFilter)
     CandidateGen.Result(
       r.pairs.withColumn("stage", lit("multifield_lsh")), r.oversizeLog)
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -38,8 +38,10 @@ object SetSimJoin {
    * id1 < id2 and jaccard >= threshold, jaccard rounded to 6 places
    * (byte-compatible with the brute-force oracle form).
    */
-  def jaccardSelfJoin(d0: DataFrame, threshold: Double): DataFrame = {
-    val (out, scratch) = jaccardSelfJoinLazy(d0, threshold)
+  def jaccardSelfJoin(d0: DataFrame, threshold: Double,
+      extra: Seq[String] = Nil,
+      pairFilter: Option[(String, String) => Column] = None): DataFrame = {
+    val (out, scratch) = jaccardSelfJoinLazy(d0, threshold, extra, pairFilter)
     // EAGER: materialize the (small) pair result, then release the scratch
     // caches — returning the lazy plan would leak two MEMORY_AND_DISK
     // tables per call for the session lifetime (library callers have no
@@ -50,10 +52,20 @@ object SetSimJoin {
   }
 
   /** Lazy plan + the internally persisted scratch tables — for plan-shape
-    * tests and callers that manage the cache lifecycle themselves. */
+    * tests and callers that manage the cache lifecycle themselves.
+    *
+    * `extra` columns of d0 ride along on the prefix table and are visible to
+    * `pairFilter(aliasA, aliasB)` INSIDE the candidate equi-join — a
+    * predicate like cross-source disjointness (linkage) then kills pairs
+    * streaming in the join task, before the pair-distinct exchange, instead
+    * of after a full self-join output shuffle (same placement as
+    * BucketJoin's pairFilter hook). */
   private[operators] def jaccardSelfJoinLazy(
-      d0: DataFrame, threshold: Double): (DataFrame, Seq[DataFrame]) = {
+      d0: DataFrame, threshold: Double, extra: Seq[String] = Nil,
+      pairFilter: Option[(String, String) => Column] = None)
+      : (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0 && threshold <= 1, "0 < threshold <= 1")
+    extra.foreach(c => require(d0.columns.contains(c), s"extra column '$c' missing"))
     // Tokens ride as 64-bit hashes end to end (the engine-wide convention):
     // distinct/intersection counts over the hashes equal the counts over
     // the strings modulo 64-bit collisions, the shuffle payload is 8
@@ -72,42 +84,47 @@ object SetSimJoin {
     // scan + tokenize + gram projection re-executes per consumer, which
     // measured as ~4x the cost of every join stage combined. At cluster
     // scale this is the stage checkpoint.
-    val d = d0.select(col("id"),
-      array_sort(array_distinct(hashed)).as("h"))
+    val d = d0.select(col("id") +: extra.map(col) :+
+        array_sort(array_distinct(hashed)).as("h"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 1 shuffle: global token order key = (document frequency, token hash).
     // Rarest-first prefixes minimize join fan-out: a token with df=k
     // contributes at most C(k,2) candidate rows, and low-df tokens
     // dominate the prefixes. Any total order preserves completeness.
-    val toks = d.select(col("id"), explode(col("h")).as("tok"))
+    val toks = d.select(col("id") +: extra.map(col) :+ explode(col("h")).as("tok"): _*)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
 
-    // per-id token list sorted by the global order, + set size
+    // per-id token list sorted by the global order, + set size (+ extras,
+    // constant per id, reduced map-side by the partial agg)
     val sorted = toks.join(dfreq, "tok")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"),
-        count(lit(1)).as("n"))
+        (count(lit(1)).as("n") +: extra.map(c => first(col(c)).as(c))): _*)
 
     // prefix explode: first n − ⌈t·n⌉ + 1 tokens, with 0-based position.
     // Persisted: consumed as BOTH sides of the candidate self-join (exchange
     // reuse is not guaranteed once the sides are aliased).
     val pfxLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
     val pfx = sorted
-      .select(col("id"), col("n"),
-        posexplode(slice(col("st"), lit(1), pfxLen)).as(Seq("pos", "s")))
-      .select(col("id"), col("n"), col("pos"), col("s.tok").as("tok"))
+      .select(col("id") +: col("n") +: extra.map(col) :+
+        posexplode(slice(col("st"), lit(1), pfxLen)).as(Seq("pos", "s")): _*)
+      .select(col("id") +: col("n") +: col("pos") +: extra.map(col) :+
+        col("s.tok").as("tok"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate equi-join on prefix token + length & positional filters
+    // (+ the caller's pairFilter, e.g. linkage source-disjointness — pruned
+    // pairs die here in the join task, never reaching the distinct exchange)
     val reqOverlap =
       ceil(lit(threshold) / (1 + threshold) * (col("a.n") + col("b.n")))
-    val cands = pfx.as("a").join(pfx.as("b"),
+    val joined = pfx.as("a").join(pfx.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id")
           && least(col("a.n"), col("b.n")) >=
                lit(threshold) * greatest(col("a.n"), col("b.n"))
           && least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
                reqOverlap)
+    val cands = pairFilter.fold(joined)(f => joined.filter(f("a", "b")))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
 

@@ -170,4 +170,91 @@ class CliSpec extends SparkSuite {
         "--estimate")))
     }
   }
+
+  test("linkage mode with field config: multi-field oriented pairs") {
+    val in = tmp("cli_in9")
+    val out = tmp("cli_out9")
+    val csv = writeCsv(in, "id,title,body,source", Seq(
+      """60,"acme anvil deluxe model","heavy duty anvil for all purposes",left""",
+      """61,"acme anvil deluxe model","heavy duty anvil for every purpose",right""",
+      """62,"acme anvil deluxe model","intra source twin must not appear",left""",
+      """63,"completely different product","nothing shared with the others",right"""))
+    val fc = java.nio.file.Paths.get(in, "fields.json")
+    Files.writeString(fc,
+      """{"title": {"sig_type": "syntactic", "weight": 2.0},
+         "body": {"sig_type": "semantic", "weight": 1.0}}""")
+    Cli.run(spark, Cli.parseArgs(Array(
+      "--mode", "linkage", "--input", csv, "--output", out,
+      "--field-config", fc.toString, "--threshold", "0.6")))
+    val pairs = spark.read.parquet(s"$out/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oriented (left, right); the intra-left twin (60,62) is excluded even
+    // though its weighted score is far above threshold
+    assert(pairs == Set((60L, 61L), (62L, 61L)))
+    assert(!Files.exists(java.nio.file.Paths.get(out, "clusters")))
+  }
+
+  test("checkpoint scope keyed on field-config CONTENT: in-place edit recomputes") {
+    val in = tmp("cli_in10")
+    val out1 = tmp("cli_out10a")
+    val out2 = tmp("cli_out10b")
+    val ckpt = tmp("cli_ckpt10")
+    // identical titles, disjoint bodies: weighted score is 2/3 under
+    // weights (2,1) — above 0.6 — and 1/3 under (1,2) — below
+    val csv = writeCsv(in, "id,title,body", Seq(
+      """70,"acme anvil deluxe model","first body about nothing shared"""",
+      """71,"acme anvil deluxe model","second body with different words""""))
+    val fc = java.nio.file.Paths.get(in, "fields.json")
+    Files.writeString(fc,
+      """{"title": {"weight": 2.0}, "body": {"sig_type": "semantic", "weight": 1.0}}""")
+    val args = (o: String) => Array("--mode", "dedup", "--input", csv,
+      "--output", o, "--field-config", fc.toString, "--threshold", "0.6",
+      "--checkpoint-dir", ckpt)
+    Cli.run(spark, Cli.parseArgs(args(out1)))
+    assert(spark.read.parquet(s"$out1/pairs").count() == 1)
+    // edit the config IN PLACE (same path, new content): the rerun must
+    // recompute under a fresh scope, not serve the stale (2,1)-weight pairs
+    Files.writeString(fc,
+      """{"title": {"weight": 1.0}, "body": {"sig_type": "semantic", "weight": 2.0}}""")
+    Cli.run(spark, Cli.parseArgs(args(out2)))
+    assert(spark.read.parquet(s"$out2/pairs").count() == 0,
+      "stale-config checkpoint served: content edit must change the scope")
+    val cfgDirs = new java.io.File(ckpt).listFiles()
+      .filter(_.getName.startsWith("cfg_"))
+    assert(cfgDirs.length == 2, "two distinct config scopes expected")
+  }
+
+  test("--cluster-col naming a missing column fails fast") {
+    val in = tmp("cli_in11")
+    val csv = writeCsv(in, "id,text", Seq(
+      """80,"some document text for the missing column check""""))
+    val err = intercept[IllegalArgumentException] {
+      Cli.run(spark, Cli.parseArgs(Array(
+        "--mode", "dedup", "--input", csv, "--output", tmp("cli_out11"),
+        "--cluster-col", "clutser")))
+    }
+    assert(err.getMessage.contains("clutser"))
+    assert(err.getMessage.contains("available"))
+  }
+
+  test("--sweep writes one metrics row per threshold") {
+    val in = tmp("cli_in12")
+    val out = tmp("cli_out12")
+    val dupText = "the quick brown fox jumps over the lazy dog and keeps " +
+      "going for quite a while longer than expected"
+    val csv = writeCsv(in, "id,text,cluster", Seq(
+      s"""90,"$dupText",1""",
+      s"""91,"$dupText",1""",
+      s"""92,"a completely different document about query engines",2"""))
+    Cli.run(spark, Cli.parseArgs(Array(
+      "--mode", "dedup", "--input", csv, "--output", out,
+      "--cluster-col", "cluster", "--sweep", "0.3,0.5,0.7")))
+    val m = spark.read.parquet(s"$out/metrics").collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("truePositives"), r.getAs[Double]("recall")))
+      .toMap
+    assert(m.keySet == Set(0.3, 0.5, 0.7))
+    // the exact-dup pair (jaccard 1.0) is found at every swept threshold
+    assert(m.values.forall { case (tp, rec) => tp == 1L && rec == 1.0 })
+  }
 }

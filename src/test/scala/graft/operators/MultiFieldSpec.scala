@@ -145,6 +145,34 @@ class MultiFieldSpec extends SparkSuite {
     } finally caches.foreach(_.unpersist())
   }
 
+  test("linkagePairs: cross-source only, oriented, == brute-force weighted score") {
+    // left-source ids LARGER than right ids: orientation must follow the
+    // source tag, not id magnitude (reference indexes.py:123-130)
+    val d = corpus(100)
+      .withColumn("source", when(pmod(col("id"), lit(2)) === 0, "right")
+        .otherwise("left"))
+      .withColumn("id",
+        when(col("source") === "left", col("id") + 1000).otherwise(col("id")))
+      .cache()
+    val t = 0.5
+    val got = MultiField.linkagePairs(d, specs, t, "left")
+      .as[(Long, Long, Double)].collect().toSet
+    // brute truth: weighted scores, cross-source, oriented left-first
+    val src = d.select(col("id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    val want = bruteScores(d, t).flatMap { case (a, b, s) =>
+      (src(a), src(b)) match {
+        case ("left", "right") => Some((a, b, s))
+        case ("right", "left") => Some((b, a, s))
+        case _ => None
+      }
+    }
+    assert(want.nonEmpty, "planted cross-source pairs expected")
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    assert(got.forall { case (l, r, _) => src(l) == "left" && src(r) == "right" })
+    d.unpersist()
+  }
+
   test("bindStats: reference stats pass — even max_str_len + vocab binding (S4)") {
     val d = Seq((1L, "Hello  World", "a b c"), (2L, "Wide", "a b d e"))
       .toDF("id", "title", "body")
