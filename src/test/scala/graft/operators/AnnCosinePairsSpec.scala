@@ -39,13 +39,21 @@ class AnnCosinePairsSpec extends SparkSuite {
     val e = corpus(250).persist()
     val brute = Dedup.embeddingCosinePairs(e, 0.5)
       .as[(Long, Long, Double)].collect().toSet
-    val got = Ann.lshCosinePairs(e, 0.5, seed = 42L)
+    // cutoff 1.1 disables the weak-regime brute fallback so this measures
+    // the REAL bucket-join path's recall (t=0.5 admits ~74% of random
+    // pairs, the documented fallback regime — pinned below)
+    val got = Ann.lshCosinePairs(e, 0.5, seed = 42L, bruteAdmitCutoff = 1.1)
       .as[(Long, Long, Double)].collect().toSet
     assert(brute.nonEmpty, "fixture must plant pairs")
     assert(got.subsetOf(brute), "exact rescore: no false positives ever")
     val recall = got.size.toDouble / brute.size
     info(s"threshold-cosine LSH recall = $recall (${got.size}/${brute.size})")
     assert(recall >= 0.95)
+    // default cutoff at the weak threshold: the planner selects the brute
+    // exact scan, so the result equals brute force EXACTLY (full recall)
+    val fb = Ann.lshCosinePairs(e, 0.5, seed = 42L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fb == brute, "weak-regime fallback must be the exact brute result")
     // planted near-dups (cosine ~0.95) must all be found at a high threshold
     val hi = Ann.lshCosinePairs(e, 0.85, seed = 42L)
       .as[(Long, Long, Double)].collect().toSet
