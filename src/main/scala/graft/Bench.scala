@@ -13,6 +13,20 @@ import org.apache.spark.sql.SparkSession
  * 3-stage blocking → Jaccard verify → connected components → clusters) on a
  * synthetic page corpus sized from the sf dir's documents table; its
  * per-doc throughput is reported alongside as docs_per_sec.
+ *
+ * LOAD-INVARIANT EVIDENCE (this host is time-shared; the identical jar has
+ * measured 2,750–5,906 pairs docs/sec across ambient-load conditions, which
+ * makes wall-clock alone unable to adjudicate a ≤2×-of-baseline claim):
+ *  - every slice rep also records SparkListener task-time sums — core
+ *    seconds (scheduler task duration) and CPU seconds (executor CPU time,
+ *    the most contention-resistant measure) — normalized per 1000 docs;
+ *  - a fixed-work single-thread calibration probe runs before every slice
+ *    rep; its wall time on this JVM is a constant on an idle host, so
+ *    inflation over the session minimum quantifies ambient drag inside the
+ *    same JSON artifact;
+ *  - flagship / pairs / full3 reps are INTERLEAVED (one of each per round)
+ *    so an ambient burst lands across slices instead of poisoning all reps
+ *    of whichever slice happened to run during it.
  */
 object Bench {
 
@@ -46,22 +60,87 @@ object Bench {
     s
   }
 
-  /** End-to-end pipeline docs/sec on an nPages corpus (fresh, uncached). */
-  def pipelineDocsPerSec(spark: SparkSession, nPages: Int): (Double, Long) = {
+  /** Accumulating task-time listener: core-ms (task durations) + CPU-ns
+    * (executor CPU time). Deltas between [[drained]] snapshots around a
+    * slice give its load-invariant cost — CPU time especially barely moves
+    * under co-tenant contention, where wall time swings 2×+. */
+  final class TaskClock extends org.apache.spark.scheduler.SparkListener {
+    private val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    private val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      taskMs.addAndGet(e.taskInfo.duration)
+      val m = e.taskMetrics
+      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    }
+    def snapshot(): (Long, Long) = (taskMs.get(), cpuNs.get())
+    /** Snapshot after the async listener bus has gone quiet (no new
+      * task-end events for quietMs; bounded total wait). */
+    def drained(quietMs: Long = 200, maxWaitMs: Long = 3000): (Long, Long) = {
+      val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      var last = snapshot()
+      var quietSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+          System.nanoTime() - quietSince < quietMs * 1000000L) {
+        Thread.sleep(25)
+        val cur = snapshot()
+        if (cur != last) { last = cur; quietSince = System.nanoTime() }
+      }
+      last
+    }
+  }
+
+  @volatile private var probeSink = 0L
+  /** Fixed-work single-thread calibration probe (pure mix64 loop, no
+    * allocation): its wall time on this JVM is a constant on an idle host;
+    * inflation over the session minimum measures ambient co-tenant drag at
+    * that moment. ~100 ms idle at the default 2^25 iterations. */
+  def loadProbeMs(iters: Int = 1 << 25): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < iters) { x = graft.functions.Hashing.mix64(x + i); i += 1 }
+    probeSink = x // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** One measured slice run: wall throughput + load-invariant task sums. */
+  final case class SliceRun(dps: Double, rows: Long, wallSec: Double,
+      coreSec: Double, cpuSec: Double)
+
+  private def measured(spark: SparkSession, clock: Option[TaskClock],
+      nPages: Int)(body: => Long): SliceRun = {
+    val before = clock.map(_.drained())
+    val t0 = System.nanoTime()
+    val n = body
+    val secs = (System.nanoTime() - t0) / 1e9
+    val after = clock.map(_.drained())
+    val (coreSec, cpuSec) = (before, after) match {
+      case (Some((ms0, ns0)), Some((ms1, ns1))) =>
+        ((ms1 - ms0) / 1e3, (ns1 - ns0) / 1e9)
+      case _ => (-1.0, -1.0)
+    }
+    SliceRun(nPages / secs, n, secs, coreSec, cpuSec)
+  }
+
+  /** End-to-end pipeline slice on an nPages corpus (fresh, uncached). */
+  def pipelineSlice(spark: SparkSession, nPages: Int,
+      clock: Option[TaskClock] = None): SliceRun = {
     val (pages, _) = PageCorpus.generate(spark, nPages, SparkEntry.cfg.seed)
     val df = pages.toDF()
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-    val t0 = System.nanoTime()
-    val result = new DedupPipeline(spark, SparkEntry.cfg).run(df)
-    val n = result.assignments.count()
-    val secs = (System.nanoTime() - t0) / 1e9
+    val run = measured(spark, clock, nPages) {
+      val result = new DedupPipeline(spark, SparkEntry.cfg).run(df)
+      val n = result.assignments.count()
+      result.signatures.unpersist(); result.candidates.unpersist()
+      result.verified.unpersist(); result.assignments.unpersist()
+      n
+    }
     df.unpersist()
-    result.signatures.unpersist(); result.candidates.unpersist()
-    result.verified.unpersist(); result.assignments.unpersist()
-    (nPages / secs, n)
+    run
   }
 
-  /** Pairs-only docs/sec (reference `predict_pairs` work shape: signatures →
+  /** Pairs-only slice (reference `predict_pairs` work shape: signatures →
     * blocking → tier-1 estimate verify; no CC, no assignment) on an nPages
     * corpus (fresh, uncached). The apples-to-apples slice against
     * BASELINE.md's 10,600 rec/s HNSW-search number.
@@ -72,27 +151,40 @@ object Bench {
     * (`pairs_full3_docs_per_sec`): this engine's full 3-stage blocking
     * union, reported alongside because it is what the flagship recall
     * architecture actually runs. */
-  def pairsDocsPerSec(spark: SparkSession, nPages: Int,
-      allStages: Boolean = false): (Double, Long) = {
+  def pairsSlice(spark: SparkSession, nPages: Int, allStages: Boolean = false,
+      clock: Option[TaskClock] = None): SliceRun = {
     val (pages, _) = PageCorpus.generate(spark, nPages, SparkEntry.cfg.seed)
     val df = pages.toDF()
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-    val t0 = System.nanoTime()
-    val n = new DedupPipeline(spark, SparkEntry.cfg).runPairs(df,
-      useSimhash = allStages, useSpans = allStages).count()
-    val secs = (System.nanoTime() - t0) / 1e9
+    val run = measured(spark, clock, nPages) {
+      new DedupPipeline(spark, SparkEntry.cfg).runPairs(df,
+        useSimhash = allStages, useSpans = allStages).count()
+    }
     df.unpersist()
-    (nPages / secs, n)
+    run
+  }
+
+  /** Back-compat forms (Scaling / tools callers): wall throughput only. */
+  def pipelineDocsPerSec(spark: SparkSession, nPages: Int): (Double, Long) = {
+    val r = pipelineSlice(spark, nPages); (r.dps, r.rows)
+  }
+  def pairsDocsPerSec(spark: SparkSession, nPages: Int,
+      allStages: Boolean = false): (Double, Long) = {
+    val r = pairsSlice(spark, nPages, allStages); (r.dps, r.rows)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = makeSession(cpus)
+    val clock = new TaskClock
+    spark.sparkContext.addSparkListener(clock)
 
     // JIT/codegen warmup: a tiny end-to-end pipeline run (~40s of first-query
-    // latency otherwise lands on whichever query happens to run first)
-    pipelineDocsPerSec(spark, 500)
+    // latency otherwise lands on whichever query happens to run first);
+    // same for the probe loop
+    pipelineSlice(spark, 500)
+    loadProbeMs(); loadProbeMs()
     spark.catalog.clearCache()
 
     // Best-of-2 per query: a single shot on this time-shared host has shown
@@ -124,40 +216,60 @@ object Bench {
     }
     val failed = results.collect { case (n, _, -1L) => n }
 
-    // flagship throughput at a corpus sized ~16x the documents table (a
+    // flagship + pairs slices at a corpus sized ~16x the documents table (a
     // larger job amortizes the fixed driver time — Catalyst planning + CC
-    // rounds — which would otherwise be ~15% of the wall and all noise);
-    // best-of-3: the flagship number is the round's headline and deserves
-    // one more defensive sample than the per-query timings
+    // rounds — which would otherwise be ~15% of the wall and all noise).
+    // Reps are INTERLEAVED — one (flagship, pairs, full3) round per rep —
+    // with a calibration probe before each slice (see object scaladoc).
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val nPages = math.max(2000, (nDocs * 16).toInt)
     val flagshipReps = math.max(reps, 3)
-    val docsPerSec =
-      (1 to flagshipReps).map(_ => pipelineDocsPerSec(spark, nPages)._1).max
-    // pairs-only slices (reference predict_pairs work shape), same corpus
-    // size: headline = MinHash-only (the reference's one-index shape);
-    // full3 = this engine's 3-stage blocking union
-    val pairsPerSec =
-      (1 to flagshipReps).map(_ => pairsDocsPerSec(spark, nPages)._1).max
-    val pairsFull3PerSec =
-      (1 to flagshipReps).map(_ =>
-        pairsDocsPerSec(spark, nPages, allStages = true)._1).max
+    val slices = Seq("flagship", "pairs", "full3")
+    val obs = scala.collection.mutable.Map[String, Vector[(SliceRun, Double)]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to flagshipReps; s <- slices) {
+      val probe = loadProbeMs()
+      val r = s match {
+        case "flagship" => pipelineSlice(spark, nPages, Some(clock))
+        case "pairs" => pairsSlice(spark, nPages, clock = Some(clock))
+        case _ => pairsSlice(spark, nPages, allStages = true, clock = Some(clock))
+      }
+      obs(s) = obs(s) :+ (r, probe)
+    }
+    // wall stat stays max-of-reps (best ≈ least co-tenant-disturbed);
+    // task sums take min-of-reps (same reasoning in cost space)
+    def dpsOf(s: String) = obs(s).map(_._1.dps).max
+    def corePerKdoc(s: String) =
+      obs(s).map(_._1.coreSec).min / (nPages / 1000.0)
+    def cpuPerKdoc(s: String) =
+      obs(s).map(_._1.cpuSec).min / (nPages / 1000.0)
+    val probes = obs.values.flatten.map(_._2).toVector.sorted
+    val probeStats = (probes.head, probes(probes.size / 2), probes.last)
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    val dps = f"$docsPerSec%.1f"
-    val pps = f"$pairsPerSec%.1f"
-    val pps3 = f"$pairsFull3PerSec%.1f"
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // methodology is IN the JSON (advisor finding: cross-round comparisons
     // must not silently mix methodologies — r1/r2 were single-shot, no
     // warmup, flagship at 8x; schema 2 = warmup + min-of-reps per query,
-    // max-of-flagshipReps flagship at 16x, q_ann_top3 excluded by design)
+    // max-of-flagshipReps flagship at 16x, q_ann_top3 excluded by design;
+    // schema 3 = slice reps interleaved + core/cpu-seconds + load probe)
     val method =
-      s"""{"schema":2,"reps":$reps,"per_query_stat":"min","flagship_reps":$flagshipReps,"flagship_stat":"max","corpus_multiplier":16,"warmup":true,"excluded":["q_ann_top3"],"pairs_slice":"minhash-only estimate (reference one-index shape); pairs_full3 = 3-stage union"}"""
+      s"""{"schema":3,"reps":$reps,"per_query_stat":"min","flagship_reps":$flagshipReps,"flagship_stat":"max","corpus_multiplier":16,"warmup":true,"excluded":["q_ann_top3"],"pairs_slice":"minhash-only estimate (reference one-index shape); pairs_full3 = 3-stage union","slice_order":"interleaved per rep: flagship,pairs,full3","core_seconds":"SparkListener task-duration sum (min of reps)","cpu_seconds":"SparkListener executorCpuTime sum (min of reps)","load_probe":"single-thread fixed-work wall ms before each slice rep (min/med/max)"}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","pipeline_pages":$nPages,"pipeline_docs_per_sec":$dps,"pairs_docs_per_sec":$pps,"pairs_full3_docs_per_sec":$pps3,"method":$method}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","pipeline_pages":$nPages""" +
+      f""","pipeline_docs_per_sec":${dpsOf("flagship")}%.1f""" +
+      f""","pairs_docs_per_sec":${dpsOf("pairs")}%.1f""" +
+      f""","pairs_full3_docs_per_sec":${dpsOf("full3")}%.1f""" +
+      f""","pipeline_core_seconds_per_kdoc":${corePerKdoc("flagship")}%.3f""" +
+      f""","pipeline_cpu_seconds_per_kdoc":${cpuPerKdoc("flagship")}%.3f""" +
+      f""","pairs_core_seconds_per_kdoc":${corePerKdoc("pairs")}%.3f""" +
+      f""","pairs_cpu_seconds_per_kdoc":${cpuPerKdoc("pairs")}%.3f""" +
+      f""","full3_core_seconds_per_kdoc":${corePerKdoc("full3")}%.3f""" +
+      f""","full3_cpu_seconds_per_kdoc":${cpuPerKdoc("full3")}%.3f""" +
+      f""","load_probe_ms":{"min":${probeStats._1}%.1f,"med":${probeStats._2}%.1f,"max":${probeStats._3}%.1f}""" +
+      s""","method":$method}"""
     println(json)
     // sbt wraps stdout in [info] prefixes which breaks the driver's JSON
     // parse — also write the raw line to a plain file it can pick up
