@@ -118,14 +118,18 @@ object SuffixSpans {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // STRICT-SUBSET PRUNE: a group fully contained in another contributes
-    // only pairs its superset re-derives — per-pair spans are exact
+    // only pairs its superset re-derives — per-pair span extents are exact
     // functions of the two texts alone (SuffixArrays RMQ path), so
-    // dropping subsets is output-identical. Measured on the bench corpus:
-    // 88% of distinct groups (3243/3694) are strict subsets — the SA
-    // kernel was the stage's dominant cost and ran ~8x too often. A
-    // superset of S must contain min(S) (members are sorted, element 1),
-    // so superset candidates come from ONE equi-join on the first member —
-    // O(groups x groups-per-doc) candidate pairs, not O(member-rows²).
+    // dropping subsets leaves the pair set and span lengths identical
+    // (span CONTENT is "one maximal common substring": at equal-length
+    // ties the surviving superset run may pick a different witness
+    // string — the containment-style oracle tolerates this). Measured on
+    // the bench corpus: 88% of distinct groups (3243/3694) are strict
+    // subsets — the SA kernel was the stage's dominant cost and ran ~8x
+    // too often. A superset of S must contain min(S) (members are sorted,
+    // element 1), so superset candidates come from ONE equi-join on the
+    // first member — O(groups x groups-per-doc) candidate pairs, not
+    // O(member-rows²).
     val first = sets.select(col("gkey"), element_at(col("members"), 1).as("m0"),
       col("members"), size(col("members")).as("sz"))
     val containing = sets
@@ -136,8 +140,15 @@ object SuffixSpans {
         (col("sz") < col("sup_sz") ||
           (col("sz") === col("sup_sz") && col("gkey") < col("sup_gkey"))) &&
         size(array_except(col("members"), col("sup_members"))) === 0)
-      .select(col("gkey")).distinct()
-    val groups = sets.join(subsumed, Seq("gkey"), "left_anti")
+      .select(col("gkey").as("sub_gkey"), col("members").as("sub_members"))
+      .distinct()
+    // anti-join verifies the member ARRAY alongside gkey: a 64-bit gkey
+    // collision between a subsumed set and an unrelated surviving set must
+    // not drop the survivor (plausible birthday odds at 10^12-doc scale);
+    // gkey stays the hash-distributed equi-key, the array check rides along.
+    val groups = sets.join(subsumed,
+        col("gkey") === col("sub_gkey") &&
+          col("members") === col("sub_members"), "left_anti")
       .select(col("gkey"), explode(col("members")).as("id"))
 
     val grouped: Dataset[SpanRow] = groups.join(d, "id")
