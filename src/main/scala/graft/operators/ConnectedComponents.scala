@@ -43,29 +43,14 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     // AQE is pure overhead for the loop's many tiny shuffles: every query
     // stage materializes + re-plans, adding driver latency per round that
-    // dominates on small edge sets. Disable inside the loop; restore the
-    // PRIOR state afterwards — including "unset" (restoring a literal
-    // default would silently pin a conf the session never set).
-    val aqeWas = getIfSet(spark, "spark.sql.adaptive.enabled")
-    val partsWas = getIfSet(spark, "spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try components0(edges, maxIterations, driverFinishEdges)
-    finally {
-      restore(spark, "spark.sql.adaptive.enabled", aqeWas)
-      restore(spark, "spark.sql.shuffle.partitions", partsWas)
+    // dominates on small edge sets. Disable inside the loop; ConfScope
+    // restores the PRIOR state afterwards — including "unset".
+    ConfScope.restoring(spark,
+      "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions") {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      components0(edges, maxIterations, driverFinishEdges)
     }
   }
-
-  // conf.get falls back to the registered default, so it cannot distinguish
-  // "explicitly set" from "defaulted"; conf.getAll holds only explicit sets
-  private def getIfSet(spark: SparkSession, key: String): Option[String] =
-    spark.conf.getAll.get(key)
-
-  private def restore(spark: SparkSession, key: String, v: Option[String]): Unit =
-    v match {
-      case Some(x) => spark.conf.set(key, x)
-      case None => spark.conf.unset(key)
-    }
 
   private def components0(edges: DataFrame, maxIterations: Int,
       driverFinishEdges: Long): DataFrame = {

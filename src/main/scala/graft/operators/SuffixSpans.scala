@@ -58,6 +58,15 @@ object SuffixSpans {
       idCol: String = "id", textCol: String = "text"): Result =
     impl(docs, cfg, groupCap, idCol, textCol, computeLog = true)
 
+  /** Small-input fast path threshold (docs). Below it the stage chain's
+    * cost is pure per-stage overhead — ~10 tiny shuffles each paying AQE
+    * re-planning + session-width task scheduling (measured at the 2k-doc
+    * bench shape: 4.7 s with session confs, 1.6 s with AQE off and
+    * right-sized partitions — identical output). Above it the membership
+    * table is large enough that AQE's coalescing/skew handling earns its
+    * keep and the session width is appropriate. */
+  private val FastPathDocs = 100000L
+
   private def impl(docs: DataFrame, cfg: GraftConfig, groupCap: Int,
       idCol: String, textCol: String, computeLog: Boolean): Result = {
     val spark = docs.sparkSession
@@ -75,6 +84,31 @@ object SuffixSpans {
     val d = docs.select(col(idCol).cast("long").as("id"),
       normUdf(col(textCol)).as("ntext"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // materializes the cache the chain reads 2-3 times anyway, and sizes
+    // the small-input fast path (ConnectedComponents' right-sizing
+    // precedent): below FastPathDocs the ENTIRE chain — including both
+    // localCheckpoint materializations — runs with AQE off and the shuffle
+    // width matched to the membership volume (floored at 8 so the
+    // flatMapGroups kernel stage keeps real parallelism; capped at the
+    // session width so large sessions aren't widened).
+    val nDocs = d.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val chain = () => runChain(d, cfg, groupCap, computeLog, winnowUdf, spark)
+    if (nDocs <= FastPathDocs) {
+      val opParts = math.min(sessionParts.toLong,
+        math.max(8L, nDocs / 1500L + 1)).max(1L).toString
+      ConfScope.withConfs(spark,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> opParts)(chain())
+    } else chain()
+  }
+
+  private def runChain(d: DataFrame, cfg: GraftConfig, groupCap: Int,
+      computeLog: Boolean,
+      winnowUdf: org.apache.spark.sql.expressions.UserDefinedFunction,
+      spark: org.apache.spark.sql.SparkSession): Result = {
+    import spark.implicits._
 
     // (id, fingerprint) memberships — ids only, text stays out of this shuffle
     val memberships = d
