@@ -30,16 +30,22 @@ object ConnectedComponents {
    *
    * driverFinishEdges: edge sets at or below this size are finished with an
    * in-memory union-find on the driver (one collect of 16 bytes/edge,
-   * ≤ ~32 MB at the default) instead of the iterative loop — the standard
-   * last-mile for iterative graph contraction: each loop round costs 2+
-   * driver round-trips and a full shuffle no matter how tiny the graph, so
-   * below the threshold the loop is pure scheduling latency. The result is
-   * IDENTICAL (component = min member id both ways). At web scale the edge
-   * set exceeds the threshold and the distributed loop runs; pass 0 to
-   * force the loop (tests pin both paths).
+   * ≤ ~128 MB of edge chunks at the default) instead of the iterative
+   * loop — the standard last-mile for iterative graph contraction: each
+   * loop round costs 2+ driver round-trips and a full shuffle no matter how
+   * tiny the graph, so below the threshold the loop is pure scheduling
+   * latency. The result is IDENTICAL (component = min member id both ways).
+   * Crossover re-derived round 5 on bounded-cluster edge sets matching the
+   * verified-pair profile (graft.tools CcTune findings): driver finish
+   * 4.5 s vs best loop 25.4 s at 2.25M edges; 9.4 s vs 40.1 s at 10M —
+   * the frugal finish wins by 4-6x through this whole range, so the
+   * default sits at 8M edges (~0.4 GB peak transient on the driver, see
+   * [[driverFinish]]). At web scale the edge set exceeds the threshold and
+   * the distributed loop runs; pass 0 to force the loop (tests pin both
+   * paths).
    */
   def components(edges: DataFrame, maxIterations: Int = 50,
-      driverFinishEdges: Long = 2000000L): DataFrame = {
+      driverFinishEdges: Long = 8000000L): DataFrame = {
     val spark = edges.sparkSession
     // AQE is pure overhead for the loop's many tiny shuffles: every query
     // stage materializes + re-plans, adding driver latency per round that
@@ -69,15 +75,19 @@ object ConnectedComponents {
     // ~16 tiny shuffle stages, and with the session's full partition count
     // the per-task scheduling overhead dominates wall time on all but the
     // largest graphs (measured: 42s -> ~4s on a 256-edge set at 32
-    // partitions). ~250k edge rows per partition — small enough that a
-    // medium graph still uses every core (a 2M-edges-per-partition first
-    // cut serialized the loop at bench scale and cost 2x in the N->4N
-    // scaling measurement), capped at the session's configured width so
-    // big graphs keep full parallelism.
+    // partitions). Rows-per-partition target re-derived round 5 at the
+    // 2-10M edge shape (the smallest sizes that reach the loop under the
+    // 8M driver-finish crossover): at 10M edges the loop measured 132.6 /
+    // 54.0 / 40.1 / 45.4 / 57.1 s for targets 100k/250k/500k/1M/2M —
+    // 500k is the optimum and is the default (graft.cc.rowsPerPartition
+    // overrides). Capped at the session's configured width so big graphs
+    // keep full parallelism.
     val spark = e.sparkSession
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rowsPerPart = spark.conf.getAll
+      .getOrElse("graft.cc.rowsPerPartition", "500000").toLong
     val loopParts = math.max(1L, math.min(sessionParts.toLong,
-      nEdges / 250000L + 1)).toInt
+      nEdges / rowsPerPart + 1)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
 
     var lastFp: (Long, String, String) = (-1L, "", "")
@@ -122,9 +132,10 @@ object ConnectedComponents {
     *    chunks via sc.parallelize and the Rows are materialized
     *    EXECUTOR-side — the assignments never exist as a driver-side
     *    LocalRelation of boxed tuples serialized into downstream plans.
-    * Measured bound at the 2M-edge default: ≤ ~130 MB transient
-    * (32 MB edge chunks + 32 MB node array + 32 MB union-find state +
-    * 64 MB packed result), scaling linearly below it. */
+    * Bound at the 8M-edge default: ≤ ~0.4 GB transient (128 MB edge
+    * chunks + 128 MB node array + ~40 MB union-find state + ~80 MB packed
+    * result), scaling linearly below it — measured 9.4 s end-to-end at
+    * 10M edges with no heap stress on the 8 g default driver. */
   private def driverFinish(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     val chunks: Array[Array[Long]] = e.select(col("src"), col("dst")).rdd
