@@ -57,10 +57,23 @@ object TextSignatures {
     val simhashOnly: SigParts = SigParts(minhash = false, spans = false)
   }
 
-  /** Permutation parameters derived deterministically from the config seed. */
+  /** Permutation parameters derived deterministically from the config seed.
+    *
+    * Hash family (round-5 change, 10x on the kernel's dominant loop): the
+    * per-perm map is v = a*h + b over Z/2^64 with ODD a, compared in the
+    * sign-flipped domain (= unsigned min). The previous a*h+b mod 2^61-1
+    * needed Math.multiplyHigh + fold + two conditional subtracts per
+    * (shingle, perm) — ~150 Mops/core; the wraparound form is three ALU ops
+    * the JIT auto-vectorizes — measured 1.5-1.8 Gops/core
+    * (graft.tools MinhashBench findings). Input h is already avalanched
+    * (hashChars finalizes with mix64), so the multiply-add's high bits —
+    * which decide the min — are well mixed; min-wise quality is validated
+    * empirically by the statistical agreement spec and the pipeline's
+    * recall >= 0.99 gates (the mod-prime family is only approximately
+    * min-wise independent too). */
   final class Perms(cfg: GraftConfig) {
-    val a: Array[Long] = stream(cfg.seed, cfg.numPerm).map(x => (x & MersennePrime) | 1L)
-    val b: Array[Long] = stream(cfg.seed + 0x5ee1e5eedL, cfg.numPerm).map(_ & MersennePrime)
+    val a: Array[Long] = stream(cfg.seed, cfg.numPerm).map(_ | 1L)
+    val b: Array[Long] = stream(cfg.seed + 0x5ee1e5eedL, cfg.numPerm)
   }
 
   private val permCache = new java.util.concurrent.ConcurrentHashMap[GraftConfig, Perms]()
@@ -166,18 +179,25 @@ object TextSignatures {
     if (wantMinhash) java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
     val last = cs.length - k
+    val pa = perms.a
+    val pb = perms.b
     while (i <= last) {
       val h = hashChars(cs, i, i + k)
       if (set.add(h) && wantMinhash) {
-        val x = h & MersennePrime
+        // sig holds SIGN-FLIPPED values during the scan (unsigned min via
+        // signed compare); unflipped in one pass below — see Perms doc
         var p = 0
         while (p < cfg.numPerm) {
-          val v = addMod61(mulMod61(perms.a(p), x), perms.b(p))
+          val v = (pa(p) * h + pb(p)) ^ Long.MinValue
           if (v < sig(p)) sig(p) = v
           p += 1
         }
       }
       i += 1
+    }
+    if (wantMinhash) {
+      var p = 0
+      while (p < cfg.numPerm) { sig(p) ^= Long.MinValue; p += 1 }
     }
     val nShingles = set.size
     val shingles = if (emitShingles) set.toSortedArray else Array.emptyLongArray

@@ -60,12 +60,13 @@ object SuffixSpans {
 
   /** Small-input fast path threshold (docs). Below it the stage chain's
     * cost is pure per-stage overhead — ~10 tiny shuffles each paying AQE
-    * re-planning + session-width task scheduling (measured at the 2k-doc
-    * bench shape: 4.7 s with session confs, 1.6 s with AQE off and
-    * right-sized partitions — identical output). Above it the membership
-    * table is large enough that AQE's coalescing/skew handling earns its
-    * keep and the session width is appropriate. */
-  private val FastPathDocs = 100000L
+    * re-planning + session-width task scheduling. A/B (best-of-2 warm,
+    * local[32], AQE-off fast path vs session confs): 2k docs 1.9 vs
+    * 4.7 s, 10k 5.1 vs 6.4 s, 30k 8.8 vs 9.1 s, 80k 18.8 vs 11.2 s —
+    * AQE's coalescing starts earning its keep between 30k and 80k docs,
+    * so the default sits at 40k.
+    * `graft.span.fastPathDocs` overrides (0 disables the fast path). */
+  private val FastPathDocs = 40000L
 
   private def impl(docs: DataFrame, cfg: GraftConfig, groupCap: Int,
       idCol: String, textCol: String, computeLog: Boolean): Result = {
@@ -94,8 +95,10 @@ object SuffixSpans {
     // session width so large sessions aren't widened).
     val nDocs = d.count()
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val fastPathDocs = spark.conf.getAll
+      .getOrElse("graft.span.fastPathDocs", FastPathDocs.toString).toLong
     val chain = () => runChain(d, cfg, groupCap, computeLog, winnowUdf, spark)
-    if (nDocs <= FastPathDocs) {
+    if (nDocs <= fastPathDocs) {
       val opParts = math.min(sessionParts.toLong,
         math.max(8L, nDocs / 1500L + 1)).max(1L).toString
       ConfScope.withConfs(spark,

@@ -42,10 +42,17 @@ object JobProfile {
     val listener = new L
     spark.sparkContext.addSparkListener(listener)
 
-    graft.Bench.pipelineDocsPerSec(spark, 2000) // warmup
+    // args(2) = "pairs" profiles the pairs-only slice instead of the
+    // flagship pipeline (the <=2x-of-reference gate's work shape)
+    val slice: Int => (Double, Long) =
+      if (args.length > 2 && args(2) == "pairs")
+        n => graft.Bench.pairsDocsPerSec(spark, n)
+      else n => graft.Bench.pipelineDocsPerSec(spark, n)
+
+    slice(2000) // warmup
     listener.jobs.clear()
     val t0 = System.nanoTime()
-    val (dps, _) = graft.Bench.pipelineDocsPerSec(spark, nPages)
+    val (dps, _) = slice(nPages)
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(1000)
 

@@ -26,6 +26,20 @@ object SpanProfile {
     t0 = System.nanoTime()
     val n2 = SuffixSpans.spans(pages, cfg).count()
     println(f"[span] end-to-end warm   ${(System.nanoTime() - t0) / 1e9}%7.2f s rows=$n2")
+    if (args.length > 2 && args(2) == "e2e-only") {
+      // A/B the fast path at this size (best-of-2 each)
+      for (fp <- Seq("100000", "0")) {
+        spark.conf.set("graft.span.fastPathDocs", fp)
+        val w = (1 to 2).map { _ =>
+          val t = System.nanoTime()
+          SuffixSpans.spans(pages, cfg).count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+        println(f"[span] fastPathDocs=$fp%-7s best-of-2 $w%7.2f s")
+      }
+      spark.conf.unset("graft.span.fastPathDocs")
+      spark.stop(); return
+    }
     // conf matrix: AQE x shuffle partitions (best-of-2 each)
     for (aqe <- Seq("true", "false"); parts <- Seq("32", "8")) {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
