@@ -43,8 +43,30 @@ final class DedupPipeline(
   private val io: Option[graft.io.TableIO] =
     tableIO.orElse(checkpointDir.map(d => new graft.io.ParquetTables(spark, d)))
 
+  /** Engine-managed physical planning for the pipeline's own jobs: below
+    * `graft.pipeline.aqeOffDocs` input docs (default 10M; 0 disables the
+    * scope) AQE is turned off for the jobs that materialize INSIDE the
+    * pipeline methods. Rationale (measured A/B, graft.tools.PairsTune,
+    * local[32], best-of-3 warm — pairs slice / flagship):
+    *   80k pages: pairs 5.2 s AQE-off vs 12.6 s on; flagship 17.6 vs 20.4
+    *   320k: pairs 14.0 vs 19.3        1M: pairs 59.3 vs 126.9
+    * Every blocking join already carries its own skew handling (bucket
+    * caps + salting), so AQE's per-stage re-planning — sequential job
+    * submission per exchange plus a localCheckpoint interaction that
+    * re-executes upstream stages — buys nothing here and costs 1.2-2.1x
+    * wall at every size measured. Above the threshold (beyond measured
+    * territory) AQE stays on: at true cluster scale its runtime coalescing
+    * covers mis-sized shuffle widths this engine does not control. */
+  private def planningScope[T](nDocs: => Long)(body: => T): T = {
+    val threshold = spark.conf.getAll
+      .getOrElse("graft.pipeline.aqeOffDocs", "10000000").toLong
+    if (threshold > 0 && nDocs <= threshold)
+      ConfScope.withConfs(spark, "spark.sql.adaptive.enabled" -> "false")(body)
+    else body
+  }
+
   /** pages(id, text, ...) → (id, cluster) for every input page. */
-  def run(pages: DataFrame): Result = {
+  def run(pages: DataFrame): Result = planningScope(pages.count()) {
     // ingest salting (north rule "salted repartitioning for skewed hosts"):
     // a crawl partitioned by host makes the per-partition signature
     // projection wait on the hottest host's partition; the salted exchange
@@ -104,7 +126,7 @@ final class DedupPipeline(
     * union is this engine's higher-recall extension). */
   def runPairs(pages: DataFrame, exact: Boolean = false,
       useMinhash: Boolean = true, useSimhash: Boolean = true,
-      useSpans: Boolean = true): DataFrame = io match {
+      useSpans: Boolean = true): DataFrame = planningScope(pages.count()) { io match {
     case None =>
       val (plan, caches) = runPairsPlan(pages, exact, useMinhash, useSimhash, useSpans)
       // eager: one materialization, then release the signature cache
@@ -124,7 +146,7 @@ final class DedupPipeline(
         caches.foreach(_.unpersist())
       }
       t.read("pairs")
-  }
+  } }
 
   private def runPairsPlan(pages: DataFrame, exact: Boolean,
       useMinhash: Boolean, useSimhash: Boolean, useSpans: Boolean)

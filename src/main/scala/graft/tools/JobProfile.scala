@@ -22,7 +22,8 @@ object JobProfile {
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       val j = J(e.time)
       j.desc = Option(e.properties)
-        .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        .flatMap(p => Option(p.getProperty("spark.job.description")))
+        .orElse(e.stageInfos.lastOption.map(_.name)).getOrElse("")
       jobs(e.jobId) = j
       e.stageIds.foreach(s => stageToJob(s) = e.jobId)
     }
@@ -64,7 +65,7 @@ object JobProfile {
       val w = (j.end - j.start) / 1e3
       val t = j.taskMs / 1e3
       println(f"[jobprofile] job $id%3d wall=$w%7.2f s taskSum=$t%8.2f s " +
-        f"tasks=${j.tasks}%4d par=${t / math.max(w, 0.001)}%5.2f")
+        f"tasks=${j.tasks}%4d par=${t / math.max(w, 0.001)}%5.2f  ${j.desc.take(70)}")
     }
     spark.stop()
   }
