@@ -43,24 +43,32 @@ final class DedupPipeline(
   private val io: Option[graft.io.TableIO] =
     tableIO.orElse(checkpointDir.map(d => new graft.io.ParquetTables(spark, d)))
 
-  /** Engine-managed physical planning for the pipeline's own jobs: below
-    * `graft.pipeline.aqeOffDocs` input docs (default 10M; 0 disables the
-    * scope) AQE is turned off for the jobs that materialize INSIDE the
-    * pipeline methods. Rationale (measured A/B, graft.tools.PairsTune,
-    * local[32], best-of-3 warm — pairs slice / flagship):
+  /** Engine-managed physical planning for the pipeline's own jobs: in
+    * LOCAL mode, below `graft.pipeline.aqeOffDocs` input docs (default 10M;
+    * 0 disables the scope), AQE is turned off for the jobs that materialize
+    * INSIDE the pipeline methods. Rationale (measured A/B, graft.tools
+    * .PairsTune, local[32], best-of-3 warm — pairs slice / flagship):
     *   80k pages: pairs 5.2 s AQE-off vs 12.6 s on; flagship 17.6 vs 20.4
     *   320k: pairs 14.0 vs 19.3        1M: pairs 59.3 vs 126.9
     * Every blocking join already carries its own skew handling (bucket
-    * caps + salting), so AQE's per-stage re-planning — sequential job
-    * submission per exchange plus a localCheckpoint interaction that
-    * re-executes upstream stages — buys nothing here and costs 1.2-2.1x
-    * wall at every size measured. Above the threshold (beyond measured
-    * territory) AQE stays on: at true cluster scale its runtime coalescing
-    * covers mis-sized shuffle widths this engine does not control. */
+    * caps + salting), so in a single JVM — where every shuffle read is an
+    * in-process memory/disk read — AQE's sequential per-exchange
+    * re-planning plus a localCheckpoint interaction that re-executes
+    * upstream stages is pure overhead: 1.2-2.1x wall at every size
+    * measured, and 16% lower task-time too (139.6 vs 165.2 core-s for the
+    * 120k-page flagship on one 1-core executor).
+    *
+    * DISTRIBUTED mode keeps AQE on — measured, not assumed: the identical
+    * 120k-page job on 4 separate 1-core executor JVMs (standalone master,
+    * spark-submit) costs 186.4 core-s with AQE vs 293.2 without, because
+    * the runtime broadcast conversion eliminates cross-JVM exchanges whose
+    * fetch waits land in task time (and whose I/O sensitivity made AQE-off
+    * runs swing 778-1984 dps under identical confs). On a real cluster
+    * those exchanges cross a network; AQE earns its keep exactly there. */
   private def planningScope[T](nDocs: => Long)(body: => T): T = {
     val threshold = spark.conf.getAll
       .getOrElse("graft.pipeline.aqeOffDocs", "10000000").toLong
-    if (threshold > 0 && nDocs <= threshold)
+    if (spark.sparkContext.isLocal && threshold > 0 && nDocs <= threshold)
       ConfScope.withConfs(spark, "spark.sql.adaptive.enabled" -> "false")(body)
     else body
   }
@@ -84,9 +92,17 @@ final class DedupPipeline(
     // cache/checkpoint traffic. candidates/verified each have a single
     // consumer → no persist (the CC loop localCheckpoints its edge set on
     // entry anyway)
-    val sigs = stage("signatures", persist = true) {
+    val sigsCached = stage("signatures", persist = true) {
       Signatures.compute(input, cfg, emitShingles = false)
     }
+    // lineage cut: candidates/verified/CC all build on signatures, and each
+    // would re-analyze its full subtree (quadratic driver time in stage
+    // depth — see GraftSqlBridge.truncateLineage). The cut reads the cache
+    // (or the checkpoint parquet, already a leaf) exactly as before;
+    // Result.signatures keeps the cached handle so unpersist() works.
+    val sigs =
+      if (io.isEmpty) org.apache.spark.sql.GraftSqlBridge.truncateLineage(sigsCached)
+      else sigsCached
     val candStage = stage("candidates") {
       val r = CandidateGen.all(sigs, cfg)
       sideSink("oversize", r.oversizeLog)
@@ -100,7 +116,7 @@ final class DedupPipeline(
       val comps = ConnectedComponents.components(verified)
       Clustering.assignAll(pages.select("id"), comps, normalizeClusterIds)
     }
-    Result(sigs, candStage, verified, assignments)
+    Result(sigsCached, candStage, verified, assignments)
   }
 
   /**
@@ -158,8 +174,11 @@ final class DedupPipeline(
     // tier-1 scoring always needs the MinHash part for minhash8
     val parts = graft.functions.TextSignatures.SigParts(
       minhash = true, simhash = useSimhash, spans = useSpans)
-    val sigs = Signatures.compute(input, cfg, emitShingles = false, parts = parts)
+    val sigsCached = Signatures.compute(input, cfg, emitShingles = false, parts = parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same lineage cut as run(): blocking + verify each re-analyze the
+    // signature subtree otherwise (see GraftSqlBridge.truncateLineage)
+    val sigs = org.apache.spark.sql.GraftSqlBridge.truncateLineage(sigsCached)
     val r = CandidateGen.all(sigs, cfg,
       useMinhash = useMinhash, useSimhash = useSimhash, useSpans = useSpans)
     // no silent caps in pairs mode either: skew-cap hits land in the same
@@ -168,7 +187,7 @@ final class DedupPipeline(
     val out = JaccardVerify.verify(r.candidates, sigs, cfg, estimate = !exact,
       texts = if (exact) Some(input.select(col("id"), col("text"))) else None,
       packedEstimate = !exact)
-    (out, Seq(sigs))
+    (out, Seq(sigsCached))
   }
 
   /** Run a stage, or load it from checkpoint if already completed.

@@ -12,4 +12,23 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-root `df` as a leaf (LogicalRDD over its physical RDD, stats and
+    * constraints carried over) WITHOUT materializing anything — the lazy
+    * analogue of localCheckpoint's lineage cut. Why: Catalyst re-analyzes
+    * the FULL logical plan of every Dataset built downstream, so a pipeline
+    * that fans N stages out of one deep subtree pays that subtree's
+    * analysis O(N) times — measured 4-6 s of driver-serial CheckAnalysis
+    * per flagship run at 120k pages, the dominant Amdahl term in the N→4N
+    * scaling gate. Call this on a stage output every downstream plan
+    * builds on (typically right after persist(), so the RDD reads the
+    * cache). Storage/recompute semantics are unchanged — the returned
+    * frame's RDD re-executes the original plan (or reads its cache) per
+    * action, exactly like the input would. */
+  def truncateLineage(df: Dataset[Row]): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(cdf.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        cdf.queryExecution.toRdd, cdf, isStreaming = false))
+  }
 }
