@@ -128,8 +128,10 @@ object Ann {
       : (DataFrame, Seq[DataFrame]) = {
     // ONE prepped side, persisted: feeds the bucket UDF and both rescore
     // joins (5 consumers of the scan + norm projection otherwise)
-    val e = prep(emb, idCol, vecCol)
+    val eCached = prep(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lineage-cut after persist (5 consumers re-analyze it otherwise)
+    val e = org.apache.spark.sql.GraftSqlBridge.truncateLineage(eCached)
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val buckets = hyperplaneBucketsFromPrepped(e, dim, nPlanes, nTables, seed)
     // capped bucket join (same machinery as every blocking stage): a dense
@@ -148,7 +150,7 @@ object Ann {
         .select(col("id2").as("id"), col("id1").as("neighbor"), col("cosine")))
     val w = Window.partitionBy("id").orderBy(desc("cosine"), asc("neighbor"))
     (directed.withColumn("rank", row_number().over(w)).filter(col("rank") <= k),
-      Seq(e))
+      Seq(eCached))
   }
 
   /**
@@ -247,9 +249,10 @@ object Ann {
       : (PairsResult, Seq[DataFrame]) = {
     val (nPlanes, nTables) = tunePlanes(threshold, recallTarget, maxTables)
     val pRand = randomPairAdmission(nPlanes, nTables)
-    // ONE prepped side, persisted (see lshTopKLazy)
-    val e = prep(emb, idCol, vecCol)
+    // ONE prepped side, persisted (see lshTopKLazy), lineage-cut after
+    val eCached = prep(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = org.apache.spark.sql.GraftSqlBridge.truncateLineage(eCached)
     if (pRand >= bruteAdmitCutoff) {
       log.info(f"cosine pairs at t=$threshold%.2f: tuned ($nPlanes planes, " +
         f"$nTables tables) would admit ${pRand * 100}%.0f%% of random " +
@@ -259,7 +262,7 @@ object Ann {
           cosine("a", "b").as("cosine"))
         .filter(col("cosine") >= threshold)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
-      (PairsResult(out, emptyOversizeLog(emb.sparkSession)), Seq(e))
+      (PairsResult(out, emptyOversizeLog(emb.sparkSession)), Seq(eCached))
     } else {
       val dim = emb.select(size(col(vecCol))).head().getInt(0)
       val buckets = hyperplaneBucketsFromPrepped(e, dim, nPlanes, nTables, seed)
@@ -267,7 +270,7 @@ object Ann {
       val out = rescorePairs(capped.pairs, e)
         .filter(col("cosine") >= threshold)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
-      (PairsResult(out, capped.oversizeLog), Seq(e))
+      (PairsResult(out, capped.oversizeLog), Seq(eCached))
     }
   }
 

@@ -28,9 +28,12 @@ object Linkage {
       sourceCol: String = "source"): DataFrame = {
     val src = records.select(col(idCol).cast("long").as("id"),
       col(sourceCol).as("source"))
-    val sigs = Signatures.compute(records, cfg, idCol, textCol, emitShingles = false)
+    val sigsCached = Signatures.compute(records, cfg, idCol, textCol, emitShingles = false)
       .join(src, "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lineage-cut after persist: blocking + verify re-analyze this subtree
+    // per consumer otherwise (GraftSqlBridge.truncateLineage scaladoc)
+    val sigs = org.apache.spark.sql.GraftSqlBridge.truncateLineage(sigsCached)
     // source-disjointness evaluated INSIDE the bucket join (pairFilter hook):
     // intra-source collisions — ~half of all pairs on balanced sources —
     // never reach the pair exchange or the verify stage. Star pairs from
@@ -56,7 +59,7 @@ object Linkage {
       // eager: release the signature cache instead of leaking it (see
       // SetSimJoin.jaccardSelfJoin)
       .localCheckpoint()
-    sigs.unpersist()
+    sigsCached.unpersist()
     out
   }
 }

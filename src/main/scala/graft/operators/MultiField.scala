@@ -276,12 +276,17 @@ object MultiField {
     val totalW = specs.map(_.weight).sum
 
     // persisted per field: each gram table feeds its SetSimJoin AND two
-    // sides of the rescore join — 3 consumers of a scan + gram projection
-    val fieldGrams = specs.map { sp =>
+    // sides of the rescore join — 3 consumers of a scan + gram projection.
+    // Lineage-cut after the persist: with N fields x 3 consumers, Catalyst
+    // would otherwise re-analyze every gram subtree per downstream Dataset
+    // (driver-serial, quadratic in plan depth — GraftSqlBridge scaladoc).
+    val fieldGramsCached = specs.map { sp =>
       records.select(col(idCol).as("id") +: extra.map(col) :+
           gramCol(col(sp.source), sp).as("g"): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    val fieldGrams = fieldGramsCached
+      .map(org.apache.spark.sql.GraftSqlBridge.truncateLineage)
 
     // ---- selectivity-aware blocking plan (both plans are provably
     // complete, so the choice only affects cost, never the result) ----
@@ -325,8 +330,9 @@ object MultiField {
           unionPlan()
         }
       }
-    val cands = planned
+    val candsCached = planned
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = org.apache.spark.sql.GraftSqlBridge.truncateLineage(candsCached)
 
     // weighted rescore: per-field contribution rows, summed per pair
     val contrib = specs.zip(fieldGrams).map { case (sp, d) =>
@@ -346,7 +352,7 @@ object MultiField {
     val out = contrib.groupBy("id1", "id2")
       .agg(round(sum(col("wj")) / totalW, 6).as("score"))
       .filter(col("score") >= threshold)
-    (out, fieldGrams :+ cands)
+    (out, fieldGramsCached :+ candsCached)
   }
 
   /**
