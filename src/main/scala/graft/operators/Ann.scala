@@ -131,7 +131,7 @@ object Ann {
     val eCached = prep(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // lineage-cut after persist (5 consumers re-analyze it otherwise)
-    val e = org.apache.spark.sql.GraftSqlBridge.truncateLineage(eCached)
+    val e = org.apache.spark.sql.GraftSqlBridge.truncateLineageLocal(eCached)
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val buckets = hyperplaneBucketsFromPrepped(e, dim, nPlanes, nTables, seed)
     // capped bucket join (same machinery as every blocking stage): a dense
@@ -252,7 +252,7 @@ object Ann {
     // ONE prepped side, persisted (see lshTopKLazy), lineage-cut after
     val eCached = prep(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val e = org.apache.spark.sql.GraftSqlBridge.truncateLineage(eCached)
+    val e = org.apache.spark.sql.GraftSqlBridge.truncateLineageLocal(eCached)
     if (pRand >= bruteAdmitCutoff) {
       log.info(f"cosine pairs at t=$threshold%.2f: tuned ($nPlanes planes, " +
         f"$nTables tables) would admit ${pRand * 100}%.0f%% of random " +

@@ -33,7 +33,7 @@ object Linkage {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // lineage-cut after persist: blocking + verify re-analyze this subtree
     // per consumer otherwise (GraftSqlBridge.truncateLineage scaladoc)
-    val sigs = org.apache.spark.sql.GraftSqlBridge.truncateLineage(sigsCached)
+    val sigs = org.apache.spark.sql.GraftSqlBridge.truncateLineageLocal(sigsCached)
     // source-disjointness evaluated INSIDE the bucket join (pairFilter hook):
     // intra-source collisions — ~half of all pairs on balanced sources —
     // never reach the pair exchange or the verify stage. Star pairs from

@@ -286,7 +286,7 @@ object MultiField {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val fieldGrams = fieldGramsCached
-      .map(org.apache.spark.sql.GraftSqlBridge.truncateLineage)
+      .map(org.apache.spark.sql.GraftSqlBridge.truncateLineageLocal)
 
     // ---- selectivity-aware blocking plan (both plans are provably
     // complete, so the choice only affects cost, never the result) ----
@@ -332,7 +332,7 @@ object MultiField {
       }
     val candsCached = planned
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = org.apache.spark.sql.GraftSqlBridge.truncateLineage(candsCached)
+    val cands = org.apache.spark.sql.GraftSqlBridge.truncateLineageLocal(candsCached)
 
     // weighted rescore: per-field contribution rows, summed per pair
     val contrib = specs.zip(fieldGrams).map { case (sp, d) =>

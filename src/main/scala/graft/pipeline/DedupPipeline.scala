@@ -101,7 +101,7 @@ final class DedupPipeline(
     // (or the checkpoint parquet, already a leaf) exactly as before;
     // Result.signatures keeps the cached handle so unpersist() works.
     val sigs =
-      if (io.isEmpty) org.apache.spark.sql.GraftSqlBridge.truncateLineage(sigsCached)
+      if (io.isEmpty) org.apache.spark.sql.GraftSqlBridge.truncateLineageLocal(sigsCached)
       else sigsCached
     val candStage = stage("candidates") {
       val r = CandidateGen.all(sigs, cfg)
@@ -178,7 +178,7 @@ final class DedupPipeline(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // same lineage cut as run(): blocking + verify each re-analyze the
     // signature subtree otherwise (see GraftSqlBridge.truncateLineage)
-    val sigs = org.apache.spark.sql.GraftSqlBridge.truncateLineage(sigsCached)
+    val sigs = org.apache.spark.sql.GraftSqlBridge.truncateLineageLocal(sigsCached)
     val r = CandidateGen.all(sigs, cfg,
       useMinhash = useMinhash, useSimhash = useSimhash, useSpans = useSpans)
     // no silent caps in pairs mode either: skew-cap hits land in the same

@@ -31,4 +31,17 @@ object GraftSqlBridge {
       org.apache.spark.sql.execution.LogicalRDD.fromDataset(
         cdf.queryExecution.toRdd, cdf, isStreaming = false))
   }
+
+  /** `truncateLineage`, applied in LOCAL mode only. On separated executor
+    * JVMs the cut is a measured cliff, not a win: the 120k-page flagship
+    * job on 4x1-core executors (standalone master, spark-submit, AQE on)
+    * inflates its dominant job from 117.7 to 532.8 task-core-seconds with
+    * the cut in place — the LogicalRDD leaf scans full rows where the
+    * InMemoryRelation it replaces serves column-pruned cached batches, and
+    * every cross-JVM re-read pays the full width. In one JVM the cached
+    * read is an in-process copy either way, so only the driver-side
+    * analysis saving (4-6 s per flagship run) remains, and the cut wins.
+    * Distributed callers keep the plain persisted frame. */
+  def truncateLineageLocal(df: Dataset[Row]): DataFrame =
+    if (df.sparkSession.sparkContext.isLocal) truncateLineage(df) else df
 }
