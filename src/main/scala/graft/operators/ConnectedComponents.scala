@@ -36,7 +36,7 @@ object ConnectedComponents {
    * tiny the graph, so below the threshold the loop is pure scheduling
    * latency. The result is IDENTICAL (component = min member id both ways).
    * Crossover re-derived round 5 on bounded-cluster edge sets matching the
-   * verified-pair profile (graft.tools CcTune findings): driver finish
+   * verified-pair profile (CcTune probe, since deleted): driver finish
    * 4.5 s vs best loop 25.4 s at 2.25M edges; 9.4 s vs 40.1 s at 10M —
    * the frugal finish wins by 4-6x through this whole range, so the
    * default sits at 8M edges (~0.4 GB peak transient on the driver, see
