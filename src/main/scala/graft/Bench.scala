@@ -48,6 +48,13 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // zstd halved the distributed protocol's shuffle-byte volume and
+      // erased its 4-executor per-core inflation (see ScalingCluster);
+      // locally the 32 writer threads share the same disk, A/B'd below.
+      // GRAFT_IO_CODEC overrides for A/B runs.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_IO_CODEC", "zstd"))
+      .config("spark.shuffle.file.buffer", "1m")
       // NOTE: autoBroadcastJoinThreshold stays at the 10m default. A 128m
       // experiment backfired: Catalyst under-estimates array-column
       // projections, tried to broadcast a ~1.2 GB signature side at 120k

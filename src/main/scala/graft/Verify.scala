@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // engine default (measured round 5, see Bench.makeSession): zstd
+      // shuffle compression — fewer bytes through shared storage
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.shuffle.file.buffer", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -16,7 +16,10 @@ object JobProfile {
 
   final class L extends SparkListener {
     case class J(start: Long, var end: Long = 0, var taskMs: Long = 0,
-        var tasks: Int = 0, var desc: String = "")
+        var tasks: Int = 0, var desc: String = "",
+        var cpuNs: Long = 0, var gcMs: Long = 0, var fetchWaitMs: Long = 0,
+        var shuffleWriteNs: Long = 0, var shuffleReadBytes: Long = 0,
+        var shuffleWriteBytes: Long = 0)
     val jobs = mutable.LinkedHashMap[Int, J]()
     private val stageToJob = mutable.HashMap[Int, Int]()
     override def onJobStart(e: SparkListenerJobStart): Unit = {
@@ -33,6 +36,15 @@ object JobProfile {
       stageToJob.get(e.stageId).flatMap(jobs.get).foreach { j =>
         j.taskMs += e.taskInfo.duration
         j.tasks += 1
+        val m = e.taskMetrics
+        if (m != null) {
+          j.cpuNs += m.executorCpuTime
+          j.gcMs += m.jvmGCTime
+          j.fetchWaitMs += m.shuffleReadMetrics.fetchWaitTime
+          j.shuffleWriteNs += m.shuffleWriteMetrics.writeTime
+          j.shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
+          j.shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
+        }
       }
   }
 

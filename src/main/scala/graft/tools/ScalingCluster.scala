@@ -27,6 +27,15 @@ object ScalingCluster {
     val spark = SparkSession.builder()
       .appName("graft-scaling-cluster")
       .config("spark.sql.session.timeZone", "UTC")
+      // zstd shuffle compression: measured A/B at 240k pages, 4x1-core
+      // executors (round 5) — lz4 wrote 2.55 GB of shuffle with 42.8 s of
+      // write time and 334 CPU-s on the dominant job; zstd wrote 1.77 GB,
+      // 4.5 s, 264 CPU-s, taking per-core inflation vs the 1-executor leg
+      // from 1.36x to 1.01x. Byte volume is the scaling bottleneck when
+      // executors share storage (true here and on real multi-executor
+      // nodes); the 1-exec leg pays ~6% compression CPU for it.
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.shuffle.file.buffer", "1m")
       .getOrCreate() // master + cores from spark-submit
     spark.sparkContext.setLogLevel("WARN")
     val cores = spark.conf.get("spark.cores.max", "?")
@@ -61,7 +70,12 @@ object ScalingCluster {
         js.sortBy { case (_, j) => -(j.end - j.start) }.take(14).foreach { case (id, j) =>
           val w = (j.end - j.start) / 1e3
           val t = j.taskMs / 1e3
-          println(f"[scalec] job $id%3d wall=$w%7.2f s taskSum=$t%8.2f s tasks=${j.tasks}%4d par=${t / math.max(w, 0.001)}%5.2f")
+          // attribution columns: where 4-executor per-core inflation goes —
+          // cpu (executorCpuTime), gc, shuffle fetch-wait, shuffle write
+          // time, shuffle bytes read/written (cross-JVM serde + copy cost
+          // that a single executor pays in-process)
+          println(f"[scalec] job $id%3d wall=$w%7.2f s taskSum=$t%8.2f s tasks=${j.tasks}%4d par=${t / math.max(w, 0.001)}%5.2f" +
+            f" cpu=${j.cpuNs / 1e9}%7.2f gc=${j.gcMs / 1e3}%5.2f fw=${j.fetchWaitMs / 1e3}%5.2f sw=${j.shuffleWriteNs / 1e9}%5.2f srMB=${j.shuffleReadBytes / 1e6}%7.1f swMB=${j.shuffleWriteBytes / 1e6}%7.1f")
         }
       }
       spark.catalog.clearCache()
