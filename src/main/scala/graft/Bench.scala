@@ -111,6 +111,32 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
+  private lazy val memProbeArr = {
+    val a = new Array[Long](1 << 23) // 64 MiB — far past any LLC
+    var i = 0
+    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+  /** Fixed-work DRAM-bandwidth probe: the ALU probe above is blind to
+    * memory-subsystem contention (a register-only loop runs at full speed
+    * while co-tenants saturate DRAM — measured round 5: probeMs 152 vs idle
+    * 147 while the same jar's 1-executor pipeline leg ran 35% slower).
+    * This sweeps a 64 MiB array at cache-line stride 8 times, so its wall
+    * time moves with available bandwidth. */
+  def memProbeMs(sweeps: Int = 8): Double = {
+    val a = memProbeArr
+    val t0 = System.nanoTime()
+    var s = 0L
+    var k = 0
+    while (k < sweeps) {
+      var i = 0
+      while (i < a.length) { s += a(i); i += 8 } // 64 B stride
+      k += 1
+    }
+    probeSink = s
+    (System.nanoTime() - t0) / 1e6
+  }
+
   /** One measured slice run: wall throughput + load-invariant task sums. */
   final case class SliceRun(dps: Double, rows: Long, wallSec: Double,
       coreSec: Double, cpuSec: Double)
@@ -191,7 +217,7 @@ object Bench {
     // latency otherwise lands on whichever query happens to run first);
     // same for the probe loop
     pipelineSlice(spark, 500)
-    loadProbeMs(); loadProbeMs()
+    loadProbeMs(); loadProbeMs(); memProbeMs(); memProbeMs()
     spark.catalog.clearCache()
 
     // Best-of-2 per query: a single shot on this time-shared host has shown
@@ -234,8 +260,10 @@ object Bench {
     val slices = Seq("flagship", "pairs", "full3")
     val obs = scala.collection.mutable.Map[String, Vector[(SliceRun, Double)]]()
       .withDefaultValue(Vector.empty)
+    val memProbes = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to flagshipReps; s <- slices) {
       val probe = loadProbeMs()
+      memProbes += memProbeMs()
       val r = s match {
         case "flagship" => pipelineSlice(spark, nPages, Some(clock))
         case "pairs" => pairsSlice(spark, nPages, clock = Some(clock))
@@ -252,6 +280,8 @@ object Bench {
       obs(s).map(_._1.cpuSec).min / (nPages / 1000.0)
     val probes = obs.values.flatten.map(_._2).toVector.sorted
     val probeStats = (probes.head, probes(probes.size / 2), probes.last)
+    val mems = memProbes.toVector.sorted
+    val memStats = (mems.head, mems(mems.size / 2), mems.last)
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -261,9 +291,11 @@ object Bench {
     // must not silently mix methodologies — r1/r2 were single-shot, no
     // warmup, flagship at 8x; schema 2 = warmup + min-of-reps per query,
     // max-of-flagshipReps flagship at 16x, q_ann_top3 excluded by design;
-    // schema 3 = slice reps interleaved + core/cpu-seconds + load probe)
+    // schema 3 = slice reps interleaved + core/cpu-seconds + load probe;
+    // +mem_probe_ms: fixed-work DRAM sweep before each slice rep — the
+    // bandwidth-contention signal the ALU probe cannot see)
     val method =
-      s"""{"schema":3,"reps":$reps,"per_query_stat":"min","flagship_reps":$flagshipReps,"flagship_stat":"max","corpus_multiplier":16,"warmup":true,"excluded":["q_ann_top3"],"pairs_slice":"minhash-only estimate (reference one-index shape); pairs_full3 = 3-stage union","slice_order":"interleaved per rep: flagship,pairs,full3","core_seconds":"SparkListener task-duration sum (min of reps)","cpu_seconds":"SparkListener executorCpuTime sum (min of reps)","load_probe":"single-thread fixed-work wall ms before each slice rep (min/med/max)"}"""
+      s"""{"schema":3,"reps":$reps,"per_query_stat":"min","flagship_reps":$flagshipReps,"flagship_stat":"max","corpus_multiplier":16,"warmup":true,"excluded":["q_ann_top3"],"pairs_slice":"minhash-only estimate (reference one-index shape); pairs_full3 = 3-stage union","slice_order":"interleaved per rep: flagship,pairs,full3","core_seconds":"SparkListener task-duration sum (min of reps)","cpu_seconds":"SparkListener executorCpuTime sum (min of reps)","load_probe":"single-thread fixed-work wall ms before each slice rep (min/med/max)","mem_probe":"single-thread 64MiB x8 cache-line-stride sweep wall ms (min/med/max)"}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","pipeline_pages":$nPages""" +
       f""","pipeline_docs_per_sec":${dpsOf("flagship")}%.1f""" +
@@ -276,6 +308,7 @@ object Bench {
       f""","full3_core_seconds_per_kdoc":${corePerKdoc("full3")}%.3f""" +
       f""","full3_cpu_seconds_per_kdoc":${cpuPerKdoc("full3")}%.3f""" +
       f""","load_probe_ms":{"min":${probeStats._1}%.1f,"med":${probeStats._2}%.1f,"max":${probeStats._3}%.1f}""" +
+      f""","mem_probe_ms":{"min":${memStats._1}%.1f,"med":${memStats._2}%.1f,"max":${memStats._3}%.1f}""" +
       s""","method":$method}"""
     println(json)
     // sbt wraps stdout in [info] prefixes which breaks the driver's JSON

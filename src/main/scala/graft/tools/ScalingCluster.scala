@@ -49,19 +49,21 @@ object ScalingCluster {
     if (profile) spark.sparkContext.addSparkListener(listener)
 
     graft.Bench.loadProbeMs(); graft.Bench.loadProbeMs() // JIT the probe loop
+    graft.Bench.memProbeMs(); graft.Bench.memProbeMs()
 
     (1 to reps).foreach { _ =>
       listener.jobs.clear()
-      // same fixed-work single-thread calibration probe as graft.Bench:
-      // its wall time quantifies ambient co-tenant drag in the same line
-      // the throughput is reported on (driver-side, but the executors
-      // share this host, so the drag is common-mode)
+      // same fixed-work calibration probes as graft.Bench: ALU probe for
+      // CPU-scheduler drag, memory probe for DRAM-bandwidth contention
+      // (the failure mode the ALU probe is blind to — see memProbeMs).
+      // Driver-side, but the executors share this host: common-mode.
       val probe = graft.Bench.loadProbeMs()
+      val mem = graft.Bench.memProbeMs()
       val t0 = System.nanoTime()
       val (dps, n) = graft.Bench.pipelineDocsPerSec(spark, nPages)
       val wall = (System.nanoTime() - t0) / 1e9
       val execs = spark.sparkContext.statusTracker.getExecutorInfos.length - 1 // minus driver
-      println(f"[scalec] cores=$cores execs=$execs pages=$nPages rows=$n dps=$dps%.1f probeMs=$probe%.1f")
+      println(f"[scalec] cores=$cores execs=$execs pages=$nPages rows=$n dps=$dps%.1f probeMs=$probe%.1f memMs=$mem%.1f")
       if (profile) {
         Thread.sleep(500)
         val js = listener.jobs.toSeq
