@@ -47,7 +47,14 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // GRAFT_AQE=false: session-level AQE off, for stage-level tools
+      // (Profile et al.) that call operators OUTSIDE DedupPipeline's
+      // planningScope — at 1M pages with many live caches, AQE's
+      // TableCacheQueryStageExec recache path NPEs inside Spark
+      // (SparkPlan.session null on the AQE thread pool); the pipeline
+      // itself already runs AQE-off below 10M docs and is unaffected.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true"))
       // zstd halved the distributed protocol's shuffle-byte volume and
       // erased its 4-executor per-core inflation (see ScalingCluster);
       // locally the 32 writer threads share the same disk, A/B'd below.
