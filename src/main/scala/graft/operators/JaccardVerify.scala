@@ -123,7 +123,16 @@ object JaccardVerify {
       val survivors = estimated.filter(col("est") >= t - margin)
         .select("id1", "id2", "stage")
       // tier-2 survivors ≈ true-pair volume; the heavy side is never
-      // broadcast — survivors shuffle to it
+      // broadcast — survivors shuffle to it. Shuffle-volume note (measured:
+      // the text side is ~88% of the dominant job's shuffle bytes at the
+      // bench shape, shuffled once per join side): with the planted-dup
+      // fixture nearly every doc appears in a surviving pair, so this is
+      // the floor for exact verification. On a LOW-participation corpus
+      // (real web dedup: 10-30% of docs in any near-dup pair) prefilter
+      // the text side with a survivor-id semi-join (Bloom-filter form at
+      // scales where the distinct-id set cannot broadcast) before these
+      // joins — it cuts the dominant shuffle by the non-participation
+      // fraction and composes with this code unchanged.
       val (side, score) = texts match {
         case Some(d) =>
           (d.select(col("id"), col("text").as("s")),
