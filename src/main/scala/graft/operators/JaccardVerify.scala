@@ -62,6 +62,13 @@ object JaccardVerify {
     * tradeoff flips, hence a knob, default off. */
   val broadcastMaxDocs: Long = sys.env.getOrElse("GRAFT_BCAST_MAX_DOCS", "0").toLong
 
+  /** Opt-in (env GRAFT_VERIFY_SEMIJOIN=1): prefilter the tier-2 payload
+    * side to docs that appear in a surviving pair before the scoring
+    * joins. Output-identical; a shuffle-volume win on low-participation
+    * corpora (see the design note at the tier-2 join). */
+  val semiJoinTexts: Boolean =
+    sys.env.getOrElse("GRAFT_VERIFY_SEMIJOIN", "0") == "1"
+
   /**
    * texts = Some(df(id, text)): tier 2 recomputes the exact shingle Jaccard
    * FROM THE TEXT per surviving pair (TextShingleJaccard — same kernel,
@@ -87,7 +94,8 @@ object JaccardVerify {
    */
   def verify(candidates: DataFrame, sigs: DataFrame, cfg: GraftConfig,
       estimate: Boolean = false, texts: Option[DataFrame] = None,
-      packedEstimate: Boolean = false): DataFrame = {
+      packedEstimate: Boolean = false,
+      semiJoin: Boolean = semiJoinTexts): DataFrame = {
     val t = cfg.simThreshold
     // narrow bundles (Signatures.compute emitShingles = false) carry no
     // shingle arrays: exact tier-2 scoring then REQUIRES the texts side —
@@ -132,8 +140,12 @@ object JaccardVerify {
       // the text side with a survivor-id semi-join (Bloom-filter form at
       // scales where the distinct-id set cannot broadcast) before these
       // joins — it cuts the dominant shuffle by the non-participation
-      // fraction and composes with this code unchanged.
-      val (side, score) = texts match {
+      // fraction and composes with this code unchanged. Implemented below
+      // behind GRAFT_VERIFY_SEMIJOIN (output-identical — the inner joins
+      // ignore non-participating docs either way; VerifyModesSpec pins it):
+      // opt-in because on the planted-dup bench corpus participation is
+      // near-total and the extra distinct-ids pass buys nothing.
+      val (side0, score) = texts match {
         case Some(d) =>
           (d.select(col("id"), col("text").as("s")),
             (s1: org.apache.spark.sql.Column, s2: org.apache.spark.sql.Column) =>
@@ -141,6 +153,11 @@ object JaccardVerify {
         case None =>
           (sigs.select(col("id"), col("shingles").as("s")),
             SimilarityExpressions.jaccardSorted _)
+      }
+      val side = if (!semiJoin) side0 else {
+        val ids = survivors.select(col("id1").as("id"))
+          .union(survivors.select(col("id2").as("id"))).distinct()
+        side0.join(ids, Seq("id"), "left_semi")
       }
       scorePairs(survivors, side, score, "jaccard", bcast = false)
         .filter(col("jaccard") >= t)
