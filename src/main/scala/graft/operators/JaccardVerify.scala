@@ -128,8 +128,24 @@ object JaccardVerify {
     } else {
       val sigma = math.sqrt(t * (1 - t) / cfg.numPerm)
       val margin = 3.5 * sigma
-      val survivors = estimated.filter(col("est") >= t - margin)
+      val survivors0 = estimated.filter(col("est") >= t - margin)
         .select("id1", "id2", "stage")
+      // survivors feed BOTH tier-2 joins; un-cut, Catalyst's broadcast
+      // chaining re-executes the whole tier-1 estimate subtree per build
+      // job (profiled: the blocking union ran ~5x per flagship run at the
+      // bench shape). A LAZY localCheckpoint materializes tier 1 once and
+      // both joins read the cached RDD; ContextCleaner auto-unpersists it
+      // when unreferenced (a persist() here would leak per call — advisor
+      // finding on the semiJoin path). Local mode only: on a cluster a
+      // localCheckpoint is not recomputable after executor loss, and the
+      // in-memory cut was measured a net loss across JVMs
+      // (GraftSqlBridge.truncateLineageLocal scaladoc).
+      val spark = candidates.sparkSession
+      val survivors =
+        if (spark.sparkContext.isLocal && !candidates.isStreaming &&
+            !sigs.isStreaming)
+          survivors0.localCheckpoint(eager = false)
+        else survivors0
       // tier-2 survivors ≈ true-pair volume; the heavy side is never
       // broadcast — survivors shuffle to it. Shuffle-volume note (measured:
       // the text side is ~88% of the dominant job's shuffle bytes at the

@@ -65,16 +65,27 @@ final class DedupPipeline(
     * fetch waits land in task time (and whose I/O sensitivity made AQE-off
     * runs swing 778-1984 dps under identical confs). On a real cluster
     * those exchanges cross a network; AQE earns its keep exactly there. */
-  private def planningScope[T](nDocs: => Long)(body: => T): T = {
+  private def planningScope[T](pages: DataFrame)(body: => T): T = {
     val threshold = spark.conf.getAll
       .getOrElse("graft.pipeline.aqeOffDocs", "10000000").toLong
-    if (spark.sparkContext.isLocal && threshold > 0 && nDocs <= threshold)
+    // size gate from PLAN STATISTICS (parquet file bytes / cached batch
+    // bytes), not a count() job: the old form re-scanned the full input
+    // once per run()/runPairs() call — including checkpoint-resume runs
+    // where the completed `pairs` table makes the count pure waste
+    // (advisor finding). Docs are approximated at >= 1 KB each, so the
+    // byte gate (docs x 1 KB) errs toward the AQE-off regime the local
+    // A/B measured 1.2-2.1x faster at every size up to 1M pages; cluster
+    // mode is untouched (isLocal guard).
+    lazy val smallInput =
+      pages.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(threshold) * 1000
+    if (spark.sparkContext.isLocal && threshold > 0 && smallInput)
       ConfScope.withConfs(spark, "spark.sql.adaptive.enabled" -> "false")(body)
     else body
   }
 
   /** pages(id, text, ...) → (id, cluster) for every input page. */
-  def run(pages: DataFrame): Result = planningScope(pages.count()) {
+  def run(pages: DataFrame): Result = planningScope(pages) {
     // ingest salting (north rule "salted repartitioning for skewed hosts"):
     // a crawl partitioned by host makes the per-partition signature
     // projection wait on the hottest host's partition; the salted exchange
@@ -89,9 +100,7 @@ final class DedupPipeline(
     // text (JaccardVerify texts mode, bitwise-identical), so the ~8
     // bytes/char shingle arrays are never built, cached, or shuffled — the
     // signature bundle is ~7x narrower, which is most of this stage's
-    // cache/checkpoint traffic. candidates/verified each have a single
-    // consumer → no persist (the CC loop localCheckpoints its edge set on
-    // entry anyway)
+    // cache/checkpoint traffic.
     val sigsCached = stage("signatures", persist = true) {
       Signatures.compute(input, cfg, emitShingles = false)
     }
@@ -103,6 +112,14 @@ final class DedupPipeline(
     val sigs =
       if (io.isEmpty) org.apache.spark.sql.GraftSqlBridge.truncateLineageLocal(sigsCached)
       else sigsCached
+    // candidates/verified stay UN-persisted: each has one logical consumer,
+    // and the one subtree Catalyst's broadcast chaining really does
+    // re-execute (tier-1 survivors, which feed BOTH tier-2 joins) is cut
+    // inside JaccardVerify instead. Round-6 A/Bs: persisting candidates on
+    // top of that cut is a wash (flagship 5842/5916 vs 5569/6257 dps across
+    // interleaved pairs); persisting verified was a measured LOSS
+    // (q_pipeline_clusters 6.3 s vs 4.9 s — the cache write costs more
+    // than the single CC consumer saves).
     val candStage = stage("candidates") {
       val r = CandidateGen.all(sigs, cfg)
       sideSink("oversize", r.oversizeLog)
@@ -142,7 +159,7 @@ final class DedupPipeline(
     * union is this engine's higher-recall extension). */
   def runPairs(pages: DataFrame, exact: Boolean = false,
       useMinhash: Boolean = true, useSimhash: Boolean = true,
-      useSpans: Boolean = true): DataFrame = planningScope(pages.count()) { io match {
+      useSpans: Boolean = true): DataFrame = planningScope(pages) { io match {
     case None =>
       val (plan, caches) = runPairsPlan(pages, exact, useMinhash, useSimhash, useSpans)
       // eager: one materialization, then release the signature cache

@@ -19,9 +19,12 @@ object JobProfile {
         var tasks: Int = 0, var desc: String = "",
         var cpuNs: Long = 0, var gcMs: Long = 0, var fetchWaitMs: Long = 0,
         var shuffleWriteNs: Long = 0, var shuffleReadBytes: Long = 0,
-        var shuffleWriteBytes: Long = 0)
+        var shuffleWriteBytes: Long = 0,
+        stages: mutable.LinkedHashMap[Int, (String, Long, Int)] =
+          mutable.LinkedHashMap())
     val jobs = mutable.LinkedHashMap[Int, J]()
     private val stageToJob = mutable.HashMap[Int, Int]()
+    private val stageNames = mutable.HashMap[Int, String]()
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       val j = J(e.time)
       j.desc = Option(e.properties)
@@ -29,6 +32,7 @@ object JobProfile {
         .orElse(e.stageInfos.lastOption.map(_.name)).getOrElse("")
       jobs(e.jobId) = j
       e.stageIds.foreach(s => stageToJob(s) = e.jobId)
+      e.stageInfos.foreach(si => stageNames(si.stageId) = si.name)
     }
     override def onJobEnd(e: SparkListenerJobEnd): Unit =
       jobs.get(e.jobId).foreach(_.end = e.time)
@@ -36,6 +40,9 @@ object JobProfile {
       stageToJob.get(e.stageId).flatMap(jobs.get).foreach { j =>
         j.taskMs += e.taskInfo.duration
         j.tasks += 1
+        val (n0, ms0, t0) = j.stages.getOrElse(e.stageId,
+          (stageNames.getOrElse(e.stageId, ""), 0L, 0))
+        j.stages(e.stageId) = (n0, ms0 + e.taskInfo.duration, t0 + 1)
         val m = e.taskMetrics
         if (m != null) {
           j.cpuNs += m.executorCpuTime

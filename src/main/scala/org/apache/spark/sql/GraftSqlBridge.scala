@@ -27,9 +27,25 @@ object GraftSqlBridge {
     * action, exactly like the input would. */
   def truncateLineage(df: Dataset[Row]): DataFrame = {
     val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    // toRdd is computed under AQE-off for THIS plan only: on an AQE plan,
+    // AdaptiveSparkPlanExec.execute eagerly materializes query stages (and
+    // can NPE through the TableCacheQueryStageExec recache path), so the
+    // "lazy lineage cut" would silently run the upstream job at plan-build
+    // time whenever the caller sits outside an AQE-off scope (advisor
+    // finding, round 5). The non-adaptive physical plan stays lazy.
+    val rdd = {
+      val session = cdf.sparkSession
+      val prior = session.conf.getOption("spark.sql.adaptive.enabled")
+      session.conf.set("spark.sql.adaptive.enabled", "false")
+      try cdf.queryExecution.toRdd
+      finally prior match {
+        case Some(v) => session.conf.set("spark.sql.adaptive.enabled", v)
+        case None => session.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
     classic.Dataset.ofRows(cdf.sparkSession,
       org.apache.spark.sql.execution.LogicalRDD.fromDataset(
-        cdf.queryExecution.toRdd, cdf, isStreaming = false))
+        rdd, cdf, isStreaming = false))
   }
 
   /** `truncateLineage`, applied in LOCAL mode only. On separated executor
