@@ -275,18 +275,23 @@ object MultiField {
     require(specs.nonEmpty, "at least one field spec required")
     val totalW = specs.map(_.weight).sum
 
-    // persisted per field: each gram table feeds its SetSimJoin AND two
-    // sides of the rescore join — 3 consumers of a scan + gram projection.
-    // Lineage-cut after the persist: with N fields x 3 consumers, Catalyst
-    // would otherwise re-analyze every gram subtree per downstream Dataset
-    // (driver-serial, quadratic in plan depth — GraftSqlBridge scaladoc).
-    val fieldGramsCached = specs.map { sp =>
-      records.select(col(idCol).as("id") +: extra.map(col) :+
-          gramCol(col(sp.source), sp).as("g"): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE prefix table per field (SetSimJoin.PrefixTable: hashed-set side +
+    // df-sorted token lists, both persisted) — shared by the planner's cost
+    // estimate, the chosen candidate join(s) AND the rescore below. Round-6
+    // restructure: the estimate previously re-derived the tokenize →
+    // token-df → per-id-sort chain from the raw gram tables, duplicating
+    // the operator's most expensive shuffles; sharing the table removes a
+    // full pass over every field. Lineage-cut after the persist: with N
+    // fields x 3 consumers, Catalyst would otherwise re-analyze every
+    // subtree per downstream Dataset (GraftSqlBridge scaladoc).
+    val fieldTablesCached = specs.map { sp =>
+      SetSimJoin.prefixTable(
+        records.select(col(idCol).as("id") +: extra.map(col) :+
+          gramCol(col(sp.source), sp).as("g"): _*), extra)
     }
-    val fieldGrams = fieldGramsCached
-      .map(org.apache.spark.sql.GraftSqlBridge.truncateLineageLocal)
+    val cut = org.apache.spark.sql.GraftSqlBridge.truncateLineageLocal _
+    val fieldTables = fieldTablesCached.map(pt =>
+      SetSimJoin.PrefixTable(cut(pt.d), cut(pt.sorted)))
 
     // ---- selectivity-aware blocking plan (both plans are provably
     // complete, so the choice only affects cost, never the result) ----
@@ -296,32 +301,32 @@ object MultiField {
     // An unselective field (templated boilerplate bodies at web scale) can
     // make its union branch emit orders of magnitude more candidates than
     // a selective field's single-field plan — the raw-candidate estimate
-    // (one cheap pass per field) picks the cheapest.
-    def unionPlan(): DataFrame = fieldGrams
-      .map(d => SetSimJoin.jaccardSelfJoin(d, threshold, extra, pairFilter)
+    // (one cheap pass over the shared prefix tables) picks the cheapest.
+    def unionPlan(): DataFrame = fieldTables
+      .map(pt => SetSimJoin.joinFromTable(pt, threshold, extra, pairFilter)
         .select("id1", "id2"))
       .reduce(_ union _)
       .distinct()
 
-    val singles = specs.zip(fieldGrams).flatMap { case (sp, d) =>
+    val singles = specs.zip(fieldTables).flatMap { case (sp, pt) =>
       val tf = fieldThreshold(sp, totalW, threshold)
-      if (tf > 0 && tf <= 1) Some((sp, d, tf)) else None
+      if (tf > 0 && tf <= 1) Some((sp, pt, tf)) else None
     }
     val planned =
       if (singles.isEmpty || specs.size == 1) unionPlan()
       else {
-        val est = SetSimJoin.candidatePairEstimatesMulti(
-          specs.zip(fieldGrams).map { case (sp, d) =>
+        val est = SetSimJoin.estimateFromTables(
+          specs.zip(fieldTables).map { case (sp, pt) =>
             val tfOpt = singles.collectFirst { case (s, _, tf) if s eq sp => tf }
-            (sp.field, d, threshold +: tfOpt.toSeq)
+            (sp.field, pt, threshold +: tfOpt.toSeq)
           })
         val unionCost = specs.map(sp => est((sp.field, threshold))).sum
-        val (bsp, bd, btf) = singles.minBy { case (sp, _, tf) => est((sp.field, tf)) }
+        val (bsp, bpt, btf) = singles.minBy { case (sp, _, tf) => est((sp.field, tf)) }
         val bestCost = est((bsp.field, btf))
         if (bestCost < unionCost) {
           log.info(s"multifield plan: single-field '${bsp.field}' at " +
             f"$btf%.3f (est $bestCost raw candidates vs union $unionCost)")
-          SetSimJoin.jaccardSelfJoin(bd, btf, extra, pairFilter)
+          SetSimJoin.joinFromTable(bpt, btf, extra, pairFilter)
             .select("id1", "id2")
         } else {
           log.info(s"multifield plan: union of ${specs.size} field joins at " +
@@ -334,11 +339,14 @@ object MultiField {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = org.apache.spark.sql.GraftSqlBridge.truncateLineageLocal(candsCached)
 
-    // weighted rescore: per-field contribution rows, summed per pair
-    val contrib = specs.zip(fieldGrams).map { case (sp, d) =>
+    // weighted rescore: per-field contribution rows, summed per pair. The
+    // per-field set arrays come from the SAME prefix tables (pt.d's `h` is
+    // the sorted distinct hash array — intersection/union SIZES over it are
+    // identical to the raw gram array's, so scores are unchanged).
+    val contrib = specs.zip(fieldTables).map { case (sp, pt) =>
       cands
-        .join(d.select(col("id").as("id1"), col("g").as("g1")), Seq("id1"), "left")
-        .join(d.select(col("id").as("id2"), col("g").as("g2")), Seq("id2"), "left")
+        .join(pt.d.select(col("id").as("id1"), col("h").as("g1")), Seq("id1"), "left")
+        .join(pt.d.select(col("id").as("id2"), col("h").as("g2")), Seq("id2"), "left")
         .select(col("id1"), col("id2"),
           // try_divide: an empty-vs-empty field is 0/0 → null → 0 (the
           // reference's empty-field zeroing; ANSI mode would error on /0)
@@ -352,7 +360,7 @@ object MultiField {
     val out = contrib.groupBy("id1", "id2")
       .agg(round(sum(col("wj")) / totalW, 6).as("score"))
       .filter(col("score") >= threshold)
-    (out, fieldGramsCached :+ candsCached)
+    (out, fieldTablesCached.flatMap(_.caches) :+ candsCached)
   }
 
   /**

@@ -60,11 +60,27 @@ object SetSimJoin {
     * streaming in the join task, before the pair-distinct exchange, instead
     * of after a full self-join output shuffle (same placement as
     * BucketJoin's pairFilter hook). */
-  private[operators] def jaccardSelfJoinLazy(
-      d0: DataFrame, threshold: Double, extra: Seq[String] = Nil,
-      pairFilter: Option[(String, String) => Column] = None)
-      : (DataFrame, Seq[DataFrame]) = {
-    require(threshold > 0 && threshold <= 1, "0 < threshold <= 1")
+  /**
+   * Shared per-field prefix machinery (round 6): BOTH the planner's cost
+   * estimate and the join itself need the (hashed set table, df-sorted
+   * token list) pair, and computing them twice — once inside
+   * candidatePairEstimates, once inside jaccardSelfJoin — duplicated the
+   * most expensive shuffle chain of the whole operator (tokenize → token-df
+   * groupBy → per-id sort agg). A PrefixTable is built ONCE per field and
+   * consumed by [[estimateFromTables]] and [[joinFromTable]].
+   *
+   *  - d: (id [,extra...], h sorted distinct hash array) — the verify side;
+   *  - sorted: (id, st array<struct<df,tok>>, n [,extra...]) — the df-sorted
+   *    token list every prefix derivation slices.
+   * Both persisted (the pfx table that `sorted` replaces was persisted for
+   * the same reason: consumed by both sides of the candidate self-join).
+   */
+  private[operators] final case class PrefixTable(d: DataFrame, sorted: DataFrame) {
+    def caches: Seq[DataFrame] = Seq(d, sorted)
+  }
+
+  private[operators] def prefixTable(d0: DataFrame, extra: Seq[String] = Nil,
+      persist: Boolean = true): PrefixTable = {
     extra.foreach(c => require(d0.columns.contains(c), s"extra column '$c' missing"))
     // Tokens ride as 64-bit hashes end to end (the engine-wide convention):
     // distinct/intersection counts over the hashes equal the counts over
@@ -84,9 +100,11 @@ object SetSimJoin {
     // scan + tokenize + gram projection re-executes per consumer, which
     // measured as ~4x the cost of every join stage combined. At cluster
     // scale this is the stage checkpoint.
-    val d = d0.select(col("id") +: extra.map(col) :+
-        array_sort(array_distinct(hashed)).as("h"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d0sel = d0.select(col("id") +: extra.map(col) :+
+      array_sort(array_distinct(hashed)).as("h"): _*)
+    val d =
+      if (persist) d0sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d0sel
 
     // 1 shuffle: global token order key = (document frequency, token hash).
     // Rarest-first prefixes minimize join fan-out: a token with df=k
@@ -96,22 +114,33 @@ object SetSimJoin {
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
 
     // per-id token list sorted by the global order, + set size (+ extras,
-    // constant per id, reduced map-side by the partial agg)
-    val sorted = toks.join(dfreq, "tok")
+    // constant per id, reduced map-side by the partial agg). Persisted:
+    // consumed by BOTH sides of the candidate self-join (the prefix slice
+    // below is a cheap cache-read projection per side) and by the planner's
+    // estimate job.
+    val sorted0 = toks.join(dfreq, "tok")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"),
         (count(lit(1)).as("n") +: extra.map(c => first(col(c)).as(c))): _*)
+    val sorted =
+      if (persist) sorted0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sorted0
+    PrefixTable(d, sorted)
+  }
 
-    // prefix explode: first n − ⌈t·n⌉ + 1 tokens, with 0-based position.
-    // Persisted: consumed as BOTH sides of the candidate self-join (exchange
-    // reuse is not guaranteed once the sides are aliased).
+  /** The join half over a prebuilt [[PrefixTable]] (lazy; no extra caches —
+    * the prefix explode is derived from the cached `sorted` per join side). */
+  private[operators] def joinFromTable(pt: PrefixTable, threshold: Double,
+      extra: Seq[String] = Nil,
+      pairFilter: Option[(String, String) => Column] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "0 < threshold <= 1")
+    // prefix explode: first n − ⌈t·n⌉ + 1 tokens, with 0-based position
     val pfxLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
-    val pfx = sorted
+    val pfx = pt.sorted
       .select(col("id") +: col("n") +: extra.map(col) :+
         posexplode(slice(col("st"), lit(1), pfxLen)).as(Seq("pos", "s")): _*)
       .select(col("id") +: col("n") +: col("pos") +: extra.map(col) :+
         col("s.tok").as("tok"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate equi-join on prefix token + length & positional filters
     // (+ the caller's pairFilter, e.g. linkage source-disjointness — pruned
@@ -130,14 +159,21 @@ object SetSimJoin {
 
     // exact verify: same |∩|/|∪| integers as the brute-force string form
     // (modulo 64-bit hash collisions), so the rounded value is identical
-    val out = cands
-      .join(d.select(col("id").as("id1"), col("h").as("h1")), "id1")
-      .join(d.select(col("id").as("id2"), col("h").as("h2")), "id2")
+    cands
+      .join(pt.d.select(col("id").as("id1"), col("h").as("h1")), "id1")
+      .join(pt.d.select(col("id").as("id2"), col("h").as("h2")), "id2")
       .withColumn("jaccard",
         graft.expressions.SimilarityExpressions.jaccardSorted(col("h1"), col("h2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
-    (out, Seq(d, pfx))
+  }
+
+  private[operators] def jaccardSelfJoinLazy(
+      d0: DataFrame, threshold: Double, extra: Seq[String] = Nil,
+      pairFilter: Option[(String, String) => Column] = None)
+      : (DataFrame, Seq[DataFrame]) = {
+    val pt = prefixTable(d0, extra)
+    (joinFromTable(pt, threshold, extra, pairFilter), pt.caches)
   }
 
   /**
@@ -162,22 +198,23 @@ object SetSimJoin {
    * fields instead of K.
    */
   def candidatePairEstimatesMulti(
-      tables: Seq[(String, DataFrame, Seq[Double])]): Map[(String, Double), BigInt] = {
+      tables: Seq[(String, DataFrame, Seq[Double])]): Map[(String, Double), BigInt] =
+    estimateFromTables(tables.map { case (name, d0, ts) =>
+      // standalone form: one estimate job, nothing reused afterwards — the
+      // prefix tables are built un-persisted
+      (name, prefixTable(d0, persist = false), ts)
+    })
+
+  /** Estimate over prebuilt [[PrefixTable]]s — the planner path: the same
+    * `sorted` caches then feed the chosen [[joinFromTable]], so the
+    * tokenize → token-df → per-id-sort chain runs once, not twice. */
+  private[operators] def estimateFromTables(
+      tables: Seq[(String, PrefixTable, Seq[Double])]): Map[(String, Double), BigInt] = {
     require(tables.nonEmpty, "at least one table")
     val allTs = tables.flatMap(_._3).distinct
     require(allTs.nonEmpty && allTs.forall(t => t > 0 && t <= 1), "0 < thresholds <= 1")
-    val tagged = tables.map { case (name, d0, _) =>
-      val hashed = d0.schema("g").dataType match {
-        case org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType, _) => col("g")
-        case _ => transform(col("g"), t => xxhash64(t))
-      }
-      val d = d0.select(col("id"), array_distinct(hashed).as("h"))
-      val toks = d.select(col("id"), explode(col("h")).as("tok"))
-      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      toks.join(dfreq, "tok").groupBy("id")
-        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"),
-          count(lit(1)).as("n"))
+    val tagged = tables.map { case (name, pt, _) =>
+      pt.sorted
         .select(lit(name).as("tbl"), col("n"),
           posexplode(col("st")).as(Seq("pos", "s")))
         .select(col("tbl"), col("n"), col("pos"), col("s.tok").as("tok"))
