@@ -117,15 +117,16 @@ object Ann {
    */
   def lshTopK(emb: DataFrame, k: Int, nPlanes: Int = 12, nTables: Int = 6,
       seed: Long = 42L, idCol: String = "vec_id",
-      vecCol: String = "embedding", bucketCap: Int = 2048): DataFrame = {
-    val (plan, caches) = lshTopKLazy(emb, k, nPlanes, nTables, seed, idCol,
-      vecCol, bucketCap)
-    // eager: one materialization, then release the prepped-embedding cache
-    // (same cache-lifecycle pattern as SetSimJoin/MultiField)
-    val out = plan.localCheckpoint()
-    caches.foreach(_.unpersist())
-    out
-  }
+      vecCol: String = "embedding", bucketCap: Int = 2048): DataFrame =
+    ConfScope.smallInputScope(emb.sparkSession, emb) {
+      val (plan, caches) = lshTopKLazy(emb, k, nPlanes, nTables, seed, idCol,
+        vecCol, bucketCap)
+      // eager: one materialization, then release the prepped-embedding cache
+      // (same cache-lifecycle pattern as SetSimJoin/MultiField)
+      val out = plan.localCheckpoint()
+      caches.foreach(_.unpersist())
+      out
+    }
 
   /** Un-checkpointed plan + held caches (plan-shape tests assert on this). */
   private[graft] def lshTopKLazy(emb: DataFrame, k: Int, nPlanes: Int = 12,
@@ -226,15 +227,16 @@ object Ann {
   def lshCosinePairsWithLog(emb: DataFrame, threshold: Double,
       recallTarget: Double = 0.99, maxTables: Int = 32, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bucketCap: Int = 2048, bruteAdmitCutoff: Double = 0.3): PairsResult = {
-    val (plan, caches) = lshCosinePairsLazy(emb, threshold, recallTarget,
-      maxTables, seed, idCol, vecCol, bucketCap, bruteAdmitCutoff)
-    // eager pairs + eager (tiny) log, then release the prepped cache
-    val out = plan.pairs.localCheckpoint()
-    val log = plan.oversizeLog.localCheckpoint()
-    caches.foreach(_.unpersist())
-    PairsResult(out, log)
-  }
+      bucketCap: Int = 2048, bruteAdmitCutoff: Double = 0.3): PairsResult =
+    ConfScope.smallInputScope(emb.sparkSession, emb) {
+      val (plan, caches) = lshCosinePairsLazy(emb, threshold, recallTarget,
+        maxTables, seed, idCol, vecCol, bucketCap, bruteAdmitCutoff)
+      // eager pairs + eager (tiny) log, then release the prepped cache
+      val out = plan.pairs.localCheckpoint()
+      val log = plan.oversizeLog.localCheckpoint()
+      caches.foreach(_.unpersist())
+      PairsResult(out, log)
+    }
 
   /** Un-checkpointed plans + held caches (plan-shape tests assert on this).
     *
@@ -283,13 +285,14 @@ object Ann {
   def lshCosinePairs(emb: DataFrame, threshold: Double,
       recallTarget: Double = 0.99, maxTables: Int = 32, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bucketCap: Int = 2048, bruteAdmitCutoff: Double = 0.3): DataFrame = {
-    // direct lazy use: the log-carrying form pays one extra job to
-    // materialize the oversize log — skip it when the caller never looks
-    val (r, caches) = lshCosinePairsLazy(emb, threshold, recallTarget,
-      maxTables, seed, idCol, vecCol, bucketCap, bruteAdmitCutoff)
-    val out = r.pairs.localCheckpoint()
-    caches.foreach(_.unpersist())
-    out
-  }
+      bucketCap: Int = 2048, bruteAdmitCutoff: Double = 0.3): DataFrame =
+    ConfScope.smallInputScope(emb.sparkSession, emb) {
+      // direct lazy use: the log-carrying form pays one extra job to
+      // materialize the oversize log — skip it when the caller never looks
+      val (r, caches) = lshCosinePairsLazy(emb, threshold, recallTarget,
+        maxTables, seed, idCol, vecCol, bucketCap, bruteAdmitCutoff)
+      val out = r.pairs.localCheckpoint()
+      caches.foreach(_.unpersist())
+      out
+    }
 }

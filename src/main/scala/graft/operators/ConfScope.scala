@@ -39,4 +39,38 @@ object ConfScope {
     try body
     finally prior.foreach { case (k, v) => restore(spark, k, v) }
   }
+
+  /**
+   * Right-size shuffle width to a SMALL local input (round-6 finding): in
+   * the bench session shape every map task opens one shuffle writer PER
+   * REDUCE PARTITION (1 MB file buffer + zstd stream + file open ≈ 8 ms
+   * each — microbenched via graft.tools.TaskCost2), so a 32-map × 32-reduce
+   * exchange costs ~8-10 core-SECONDS before it moves a single row. A 64k-row
+   * groupBy measured 9.3 core-s / 0.52 s wall at 32 reduce partitions vs
+   * 1.8 core-s / 0.22 s at 4 — identical results. Operators whose whole
+   * input is provably small therefore plan their shuffles at
+   * ~bytes / graft.local.bytesPerPartition (default 2 MB, floor 8, capped
+   * at the session width) instead of the session's cluster-sized default.
+   *
+   * Gates: local mode; non-streaming; plan-statistics input size at or
+   * below graft.local.smallJobBytes (default 64 MB — warehouse-scale scans
+   * sit orders of magnitude above it and are untouched; 0 disables). AQE
+   * stays as configured — runtime coalescing composes with a smaller
+   * initial width. EAGER operators only: the conf must be in force when
+   * the physical plan is made, i.e. the body must materialize its result.
+   */
+  def smallInputScope[T](spark: SparkSession,
+      input: org.apache.spark.sql.DataFrame)(body: => T): T = {
+    if (!spark.sparkContext.isLocal || input.isStreaming) return body
+    val all = spark.conf.getAll
+    val gate = all.getOrElse("graft.local.smallJobBytes", (64L << 20).toString).toLong
+    if (gate <= 0) return body
+    val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > gate) return body
+    val perPart = math.max(1L,
+      all.getOrElse("graft.local.bytesPerPartition", (2L << 20).toString).toLong)
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = (bytes / perPart + 1).min(BigInt(session)).max(BigInt(8))
+    withConfs(spark, "spark.sql.shuffle.partitions" -> parts.toString)(body)
+  }
 }

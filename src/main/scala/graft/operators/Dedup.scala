@@ -56,7 +56,8 @@ object Dedup {
    * web scale instead of a cartesian product.
    */
   def tokenJaccardPairs(docs: DataFrame, threshold: Double, ngram: Int = 1,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    ConfScope.smallInputScope(docs.sparkSession, docs) {
     // n-gram identity = hash of the n consecutive TOKEN HASHES, not of the
     // joined string: set counts are unchanged (modulo 64-bit collisions, the
     // engine-wide convention), and the projection is O(tokens) — the
@@ -74,11 +75,12 @@ object Dedup {
         .otherwise(array().cast("array<long>"))
     val d = th.select(col("id"), grams.as("g"))
     SetSimJoin.jaccardSelfJoin(d, threshold)
-  }
+    }
 
   /** MinHash+LSH near-dup pairs over any (id, text) table — the scale path. */
   def minhashDupPairs(docs: DataFrame, cfg: GraftConfig,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    ConfScope.smallInputScope(docs.sparkSession, docs) {
     // persisted: consumed by the banding stage and twice by the verify
     // joins; narrow bundle (no shingle arrays — exact verify recomputes
     // from text, bitwise-identical)
@@ -94,7 +96,7 @@ object Dedup {
       .localCheckpoint()
     sigs.unpersist()
     out
-  }
+    }
 
   /** SimHash Hamming-ball near-dup pairs (token-level semantic near-dup). */
   def simhashDupPairs(docs: DataFrame, cfg: GraftConfig,

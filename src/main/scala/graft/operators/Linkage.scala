@@ -25,7 +25,8 @@ object Linkage {
    */
   def linkagePairs(records: DataFrame, cfg: GraftConfig, leftSource: String,
       idCol: String = "id", textCol: String = "text",
-      sourceCol: String = "source"): DataFrame = {
+      sourceCol: String = "source"): DataFrame =
+    ConfScope.smallInputScope(records.sparkSession, records) {
     val src = records.select(col(idCol).cast("long").as("id"),
       col(sourceCol).as("source"))
     val sigsCached = Signatures.compute(records, cfg, idCol, textCol, emitShingles = false)
@@ -61,5 +62,5 @@ object Linkage {
       .localCheckpoint()
     sigsCached.unpersist()
     out
-  }
+    }
 }

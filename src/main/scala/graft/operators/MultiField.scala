@@ -214,14 +214,15 @@ object MultiField {
     (t * totalW - (totalW - spec.weight)) / spec.weight
 
   def dedupPairs(records: DataFrame, specs: Seq[FieldSpec], threshold: Double,
-      idCol: String = "id"): DataFrame = {
-    val (plan, caches) = dedupPairsPlan(records, specs, threshold, idCol)
-    // eager: release the per-field gram caches + candidate cache instead
-    // of leaking them for the session (see SetSimJoin.jaccardSelfJoin)
-    val out = plan.localCheckpoint()
-    caches.foreach(_.unpersist())
-    out
-  }
+      idCol: String = "id"): DataFrame =
+    ConfScope.smallInputScope(records.sparkSession, records) {
+      val (plan, caches) = dedupPairsPlan(records, specs, threshold, idCol)
+      // eager: release the per-field gram caches + candidate cache instead
+      // of leaking them for the session (see SetSimJoin.jaccardSelfJoin)
+      val out = plan.localCheckpoint()
+      caches.foreach(_.unpersist())
+      out
+    }
 
   /**
    * Multi-field record LINKAGE — the reference's linkage mode over a field
@@ -240,7 +241,8 @@ object MultiField {
    */
   def linkagePairs(records: DataFrame, specs: Seq[FieldSpec], threshold: Double,
       leftSource: String, idCol: String = "id",
-      sourceCol: String = "source"): DataFrame = {
+      sourceCol: String = "source"): DataFrame =
+    ConfScope.smallInputScope(records.sparkSession, records) {
     require(records.columns.contains(sourceCol),
       s"linkage needs source column '$sourceCol'")
     val crossSource: (String, String) => Column =
@@ -261,7 +263,7 @@ object MultiField {
     val out = oriented.localCheckpoint()
     caches.foreach(_.unpersist())
     out
-  }
+    }
 
   /** The un-checkpointed join plan + the caches it holds — plan-shape tests
     * assert on THIS (the public method's localCheckpoint collapses

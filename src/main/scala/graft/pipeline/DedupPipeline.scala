@@ -80,7 +80,12 @@ final class DedupPipeline(
       pages.queryExecution.optimizedPlan.stats.sizeInBytes <=
         BigInt(threshold) * 1000
     if (spark.sparkContext.isLocal && threshold > 0 && smallInput)
-      ConfScope.withConfs(spark, "spark.sql.adaptive.enabled" -> "false")(body)
+      ConfScope.withConfs(spark, "spark.sql.adaptive.enabled" -> "false") {
+        // compose the round-6 small-input shuffle right-sizing (ConfScope
+        // .smallInputScope scaladoc): a tiny corpus otherwise pays the
+        // cluster-sized map×reduce writer fan-out on every pipeline exchange
+        ConfScope.smallInputScope(spark, pages)(body)
+      }
     else body
   }
 
