@@ -143,6 +143,26 @@ object TextSignatures {
     set.toSortedArray
   }
 
+  /** Distinct whitespace-token hashes of a normalized char array, sorted —
+    * the word-token analog of [[shingleSet]] (normalize() collapsed all
+    * whitespace runs to single spaces, so token spans are the gaps between
+    * ' ' chars). Empty input → empty array. */
+  def tokenHashSet(cs: Array[Char]): Array[Long] = {
+    if (cs.length == 0) return Array.empty
+    val set = scratch.get().shingles
+    set.clear()
+    var start = 0
+    var i = 0
+    while (i <= cs.length) {
+      if (i == cs.length || cs(i) == ' ') {
+        if (i > start) set.add(hashChars(cs, start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    set.toSortedArray
+  }
+
   /** Full signature bundle; single pass over the text. emitShingles = false
     * skips materializing the sorted shingle array (set size still counted) —
     * for pipelines whose verify tier recomputes Jaccard from text. */
