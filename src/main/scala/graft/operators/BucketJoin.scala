@@ -56,10 +56,21 @@ object BucketJoin {
    * lets callers demand corroboration (e.g. >= 2 shared winnowing
    * fingerprints) to kill single-bucket coincidences.
    */
+  /**
+   * dedupe = false skips the final per-stage distinct: for callers that
+   * union several stages' pairs into ONE downstream groupBy(id1, id2)
+   * (CandidateGen.all), the per-stage exchange is redundant — the raw
+   * collision rows partial-aggregate map-side inside the union's groupBy,
+   * so the wire volume is the same and one full exchange per stage
+   * disappears. Callers that consume a single stage's output directly must
+   * keep the default (duplicate candidate rows would duplicate verify
+   * output rows).
+   */
   def pairs(memberships: DataFrame, cap: Int, stage: String,
       pairFilter: Option[(String, String) => Column] = None,
       oversize: OversizePolicy = Star,
-      countHits: Boolean = false): Result = {
+      countHits: Boolean = false,
+      dedupe: Boolean = true): Result = {
     val m = memberships.withColumn("id", col("id").cast("long"))
       .withColumn("bucket", col("bucket").cast("long"))
     // Per-bucket count + min via WINDOW functions, not groupBy + join-back:
@@ -113,7 +124,8 @@ object BucketJoin {
     val all = smallPairs.union(bigPairs)
     val out =
       if (countHits) all.groupBy("id1", "id2").agg(count(lit(1)).as("hits"))
-      else all.distinct()
+      else if (dedupe) all.distinct()
+      else all
     Result(out, oversizeLog)
   }
 }

@@ -30,12 +30,15 @@ object CandidateGen {
    * and discarded afterwards (reference cross-source-only invariant,
    * entity_embed/indexes.py:123-130).
    */
-  /** MinHash LSH banding (SURVEY.md J1/J2): explode band keys → bucket join. */
+  /** MinHash LSH banding (SURVEY.md J1/J2): explode band keys → bucket join.
+    * `dedupe = false` (see BucketJoin.pairs) is for [[all]]'s union only. */
   def minhashStage(sigs: DataFrame, cfg: GraftConfig,
-      extra: Seq[String] = Nil, pairFilter: Option[PairFilter] = None): Result = {
+      extra: Seq[String] = Nil, pairFilter: Option[PairFilter] = None,
+      dedupe: Boolean = true): Result = {
     val m = sigs.select(col("id") +: explode(col("band_keys")).as("bucket") +:
       extra.map(col): _*)
-    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "minhash", pairFilter)
+    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "minhash", pairFilter,
+      dedupe = dedupe)
     Result(r.pairs.withColumn("stage", lit("minhash")), r.oversizeLog)
   }
 
@@ -48,7 +51,8 @@ object CandidateGen {
    * reference J4, indexes.py:40) so only in-ball pairs reach verification.
    */
   def simhashStage(sigs: DataFrame, cfg: GraftConfig,
-      extra: Seq[String] = Nil, pairFilter: Option[PairFilter] = None): Result = {
+      extra: Seq[String] = Nil, pairFilter: Option[PairFilter] = None,
+      dedupe: Boolean = true): Result = {
     val nonEmpty = sigs.filter(col("n_tokens") > 0)
     // fingerprint travels WITH the membership row so the Hamming check runs
     // inside the bucket-join stage: non-ball collision pairs die streaming
@@ -62,7 +66,8 @@ object CandidateGen {
       case Some(f) => (a, b) => ball(a, b) && f(a, b)
       case None => ball
     }
-    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "simhash", Some(combined))
+    val r = BucketJoin.pairs(m, cfg.maxBandBucket, "simhash", Some(combined),
+      dedupe = dedupe)
     Result(r.pairs.withColumn("stage", lit("simhash")), r.oversizeLog)
   }
 
@@ -101,9 +106,17 @@ object CandidateGen {
       useMinhash: Boolean = true, useSimhash: Boolean = true,
       useSpans: Boolean = true,
       extra: Seq[String] = Nil, pairFilter: Option[PairFilter] = None): Result = {
+    // minhash/simhash pairs go into the union RAW (dedupe = false): the
+    // groupBy below dedupes once for all stages, and its partial aggregation
+    // bounds the exchange volume exactly like the removed per-stage
+    // distincts did — one full exchange per stage disappears (the span
+    // stage keeps its own groupBy: the hits >= minSpanHits corroboration
+    // filter must run before the union).
     val stages = Seq(
-      if (useMinhash) Some(minhashStage(sigs, cfg, extra, pairFilter)) else None,
-      if (useSimhash) Some(simhashStage(sigs, cfg, extra, pairFilter)) else None,
+      if (useMinhash) Some(minhashStage(sigs, cfg, extra, pairFilter,
+        dedupe = false)) else None,
+      if (useSimhash) Some(simhashStage(sigs, cfg, extra, pairFilter,
+        dedupe = false)) else None,
       if (useSpans) Some(spanStage(sigs, cfg, extra, pairFilter)) else None).flatten
     require(stages.nonEmpty, "at least one blocking stage must be enabled")
     val cands = stages.map(_.candidates).reduce(_ union _)

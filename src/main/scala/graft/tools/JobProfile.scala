@@ -85,6 +85,10 @@ object JobProfile {
       val t = j.taskMs / 1e3
       println(f"[jobprofile] job $id%3d wall=$w%7.2f s taskSum=$t%8.2f s " +
         f"tasks=${j.tasks}%4d par=${t / math.max(w, 0.001)}%5.2f  ${j.desc.take(70)}")
+      j.stages.toSeq.sortBy(-_._2._2).take(8).foreach { case (sid, (nm, ms, nt)) =>
+        if (ms > 500)
+          println(f"[jobprofile]     stage $sid%4d taskSum=${ms / 1e3}%7.2f s tasks=$nt%4d  ${nm.take(70)}")
+      }
     }
     spark.stop()
   }
