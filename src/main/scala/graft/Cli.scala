@@ -124,6 +124,13 @@ object Cli {
     // truncated pair set (reference sweeps over the full retrieved set,
     // entity_embed.py:355-385)
     val baseT = a.threshold.getOrElse(cfg0.simThreshold)
+    // --sweep without --cluster-col would LOWER the emission threshold (the
+    // sweep's retention contract below) while the metrics block that
+    // justifies it never runs — reject loudly, like --estimate (round-5
+    // verdict defect #1)
+    require(a.sweep.isEmpty || a.clusterCol.nonEmpty,
+      "--sweep needs --cluster-col (ground truth): without it the sweep " +
+        "would only lower the emission threshold and evaluate nothing")
     val effT = (baseT +: a.sweep).min
     val cfg = cfg0.copy(simThreshold = effT)
     // --estimate is only wired into the plain-dedup pipeline path; reject
@@ -150,7 +157,11 @@ object Cli {
     // estimate / mode / field config can never be served another config's
     // stage outputs. Input identity remains the caller's contract.
     val ckpt = a.checkpointDir.map { d =>
-      val h = (a.mode, cfg.simThreshold, a.estimate, fieldJson).##
+      // signature format version in the scope: a jar whose hash family
+      // changed (round 5: mod-prime -> wraparound) must never resume stage
+      // outputs written by the old family (round-5 advisor finding)
+      val h = (a.mode, cfg.simThreshold, a.estimate, fieldJson,
+        graft.functions.TextSignatures.formatVersion).##
       f"$d/cfg_${h & 0xffffffffL}%08x"
     }
 

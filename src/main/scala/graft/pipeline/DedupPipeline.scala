@@ -106,7 +106,7 @@ final class DedupPipeline(
     // bytes/char shingle arrays are never built, cached, or shuffled — the
     // signature bundle is ~7x narrower, which is most of this stage's
     // cache/checkpoint traffic.
-    val sigsCached = stage("signatures", persist = true) {
+    val sigsCached = stage("signatures", persist = true, versioned = true) {
       Signatures.compute(input, cfg, emitShingles = false)
     }
     // lineage cut: candidates/verified/CC all build on signatures, and each
@@ -176,14 +176,16 @@ final class DedupPipeline(
       // as the staged pipeline): a completed `pairs` table short-circuits
       // the whole job. The parquet write IS the one materialization — no
       // localCheckpoint first (that would run the verify job twice).
-      if (!t.isComplete("pairs")) {
-        val (plan, caches) = runPairsPlan(pages, exact, useMinhash, useSimhash, useSpans)
-        t.write(plan, "pairs")
-        logLineage("pairs")
-        t.markComplete("pairs")
-        caches.foreach(_.unpersist())
+      // versioned resume (estimate-mode jaccard is a minhash-lane
+      // agreement — format-dependent; see stage()):
+      var caches: Seq[DataFrame] = Nil
+      val out = stage("pairs", versioned = true) {
+        val (plan, cs) = runPairsPlan(pages, exact, useMinhash, useSimhash, useSpans)
+        caches = cs
+        plan
       }
-      t.read("pairs")
+      caches.foreach(_.unpersist())
+      out
   } }
 
   private def runPairsPlan(pages: DataFrame, exact: Boolean,
@@ -221,15 +223,40 @@ final class DedupPipeline(
     * cluster scale the checkpoint Parquet plays this role. Single-consumer
     * stages are left lazy (persisting them costs a full extra
     * materialization for nothing). */
-  private def stage(name: String, persist: Boolean = false)(body: => DataFrame): DataFrame =
+  /** `versioned = true`: the stage's VALUES depend on the signature hash
+    * family (the signatures table; the estimate-mode pairs table, whose
+    * jaccard is a minhash-lane agreement). Completion then also writes a
+    * `<name>_format` table stamped with TextSignatures.formatVersion, and a
+    * resume against a checkpoint written by a different family fails fast
+    * instead of silently mixing incompatible values (round-5 advisor
+    * finding). Pre-versioning checkpoints (no format table) also fail. */
+  private def stage(name: String, persist: Boolean = false,
+      versioned: Boolean = false)(body: => DataFrame): DataFrame =
     io match {
       case None =>
         if (persist) body.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else body
       case Some(t) =>
+        val fmt = graft.functions.TextSignatures.formatVersion.toLong
+        if (versioned && t.isComplete(name)) {
+          val stored =
+            if (t.isComplete(s"${name}_format"))
+              t.read(s"${name}_format").head().getLong(0)
+            else -1L
+          require(stored == fmt,
+            s"checkpointed '$name' was written with signature format " +
+              s"$stored but this engine computes format $fmt — delete the " +
+              "checkpoint (or keep the old jar); resuming would mix " +
+              "incompatible signature values")
+        }
         if (!t.isComplete(name)) {
           t.write(body, name)
           logLineage(name)
+          if (versioned) {
+            import spark.implicits._
+            t.write(Seq(fmt).toDF("format_version"), s"${name}_format")
+            t.markComplete(s"${name}_format")
+          }
           t.markComplete(name)
         }
         t.read(name)

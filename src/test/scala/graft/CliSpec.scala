@@ -89,6 +89,21 @@ class CliSpec extends SparkSuite {
       Array("--mode", "wat", "--input", "i", "--output", "o")))
   }
 
+  test("--sweep without --cluster-col is rejected loudly (round-5 defect)") {
+    // without ground truth the sweep would only LOWER the emission
+    // threshold (writing pairs the user did not ask for) and the metrics
+    // block would never run — must fail fast like --estimate misuse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sweep_guard").toString
+    val in = writeCsv(tmp, "id,text", Seq("1,aaa bbb ccc", "2,aaa bbb ccc"))
+    val out = s"$tmp/out"
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Cli.parseArgs(Array(
+        "--mode", "dedup", "--input", in, "--output", out,
+        "--threshold", "0.7", "--sweep", "0.3,0.5")))
+    }
+    assert(e.getMessage.contains("--cluster-col"), e.getMessage)
+  }
+
   test("linkage metrics: oriented cross-source truth (right ids below left ids)") {
     // left-source ids are LARGER than right-source ids: oriented found
     // pairs (left_id, right_id) have id1 > id2, which a canonical

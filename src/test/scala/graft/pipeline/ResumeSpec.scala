@@ -66,6 +66,33 @@ class ResumeSpec extends SparkSuite {
     assert(p2 == Set((-1L, -2L)), "completed pairs stage must be loaded, not recomputed")
   }
 
+  test("resume fails fast on a signature-format version mismatch") {
+    val dir = Files.createTempDirectory("graft_ckpt_fmt").toString
+    val (pages, _) = PageCorpus.generate(spark, 200, cfg.seed)
+    val df = pages.toDF()
+    new DedupPipeline(spark, cfg, Some(dir)).run(df).assignments.count()
+    // stamp written alongside the signatures stage
+    assert(new java.io.File(s"$dir/signatures_format/_GRAFT_OK").exists())
+    val spark2 = spark
+    import spark2.implicits._
+    // stale checkpoint from an older hash family: resume must refuse
+    Seq(1L).toDF("format_version")
+      .write.mode("overwrite").parquet(s"$dir/signatures_format")
+    new java.io.File(s"$dir/signatures_format/_GRAFT_OK").createNewFile()
+    val e = intercept[IllegalArgumentException] {
+      new DedupPipeline(spark, cfg, Some(dir)).run(df).assignments.count()
+    }
+    assert(e.getMessage.contains("signature format"), e.getMessage)
+    // pre-versioning checkpoint (no format table at all): also refused
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    rmr(new java.io.File(s"$dir/signatures_format"))
+    intercept[IllegalArgumentException] {
+      new DedupPipeline(spark, cfg, Some(dir)).run(df).assignments.count()
+    }
+  }
+
   test("checkpointed and un-checkpointed runs agree") {
     val dir = Files.createTempDirectory("graft_ckpt2").toString
     val (pages, _) = PageCorpus.generate(spark, 300, cfg.seed + 1)
