@@ -211,12 +211,20 @@ object SetSimJoin {
   private[operators] def estimateFromTables(
       tables: Seq[(String, PrefixTable, Seq[Double])]): Map[(String, Double), BigInt] = {
     require(tables.nonEmpty, "at least one table")
+    require(tables.forall(_._3.nonEmpty), "each table needs >= 1 threshold")
     val allTs = tables.flatMap(_._3).distinct
     require(allTs.nonEmpty && allTs.forall(t => t > 0 && t <= 1), "0 < thresholds <= 1")
-    val tagged = tables.map { case (name, pt, _) =>
+    val tagged = tables.map { case (name, pt, ts) =>
+      // only positions inside the LOOSEST estimated threshold's prefix can
+      // contribute to any count below (the per-threshold condition is
+      // pos <= n - ceil(t·n), maximal at min(t)) — slicing before the
+      // explode drops the tail rows exactly, cutting the estimate's
+      // heaviest exchange roughly in half at typical thresholds
+      val tMin = ts.min
+      val pfxLen = (col("n") - ceil(lit(tMin) * col("n")) + 1).cast("int")
       pt.sorted
         .select(lit(name).as("tbl"), col("n"),
-          posexplode(col("st")).as(Seq("pos", "s")))
+          posexplode(slice(col("st"), lit(1), pfxLen)).as(Seq("pos", "s")))
         .select(col("tbl"), col("n"), col("pos"), col("s.tok").as("tok"))
     }.reduce(_ unionByName _)
     val cnts = allTs.zipWithIndex.map { case (t, i) =>
