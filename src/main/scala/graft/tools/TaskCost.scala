@@ -38,11 +38,11 @@ object TaskCost {
     }
     // the blocking-stage shape: explode + window + self-join + distinct
     val sigsLike = spark.range(2000).select(col("id"),
-      array((0 until 32).map(i => xxhash64(col("id") % 500, lit(i))): _*).as("bк"))
+      array((0 until 32).map(i => xxhash64(col("id") % 500, lit(i))): _*).as("bk"))
       .persist()
     sigsLike.count()
     timed("explode+window+selfjoin+distinct (2k x 32 keys)") {
-      val m = sigsLike.select(col("id"), explode(col("bк")).as("bucket"))
+      val m = sigsLike.select(col("id"), explode(col("bk")).as("bucket"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
       val j = m.withColumn("n", count(lit(1)).over(w))
       j.as("a").join(j.as("b"),
